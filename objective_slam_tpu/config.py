@@ -1,0 +1,85 @@
+"""Configuration for the PPF pipeline.
+
+Mirrors the reference's compile-time constants (pcl/alignment/include/kernel.h:10-18)
+and CLI algorithm flags (pcl/alignment/src/alignment.cpp:119-172), lifted into a
+single dataclass so the whole pipeline is parameterized and jit-friendly
+(values are Python scalars, closed over at trace time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class PPFConfig:
+    """Algorithm parameters.
+
+    Attributes:
+      n_angle: number of rotation-angle bins over [0, 2π).
+        Reference: N_ANGLE = 30 (kernel.h:15, matlab/model_description.m:14).
+      tau_d: relative distance quantization step; d_dist = tau_d * model
+        diameter (matlab/model_description.m:13; alignment.cpp `--tau_d`).
+      ref_point_df: scene reference point downsample factor; only every
+        ref_point_df-th scene point acts as a Hough reference point
+        (kernel.cu:432-435; MATLAB voting_scheme.m `skip`).
+      vote_count_threshold: fraction of the max vote count below which
+        candidate votes are discarded (model.cu:164-170; default 0.4 from
+        alignment.cpp:134-135).
+      max_poses: static capacity for surviving (ref point, model point, α)
+        vote cells turned into candidate poses. The reference keeps a
+        data-dependent count (model.cu:169); on TPU we keep the top
+        `max_poses` by count and mask those below threshold. Exact whenever
+        the true survivor count <= max_poses.
+      cluster_center_cell: if False, replicate the reference quirk of
+        excluding a pose's *own* translation grid cell from its cluster
+        neighborhood ("THIS IS WRONG, BUT IT MAKES IT WORK",
+        kernel.cu:684-689). If True, include it (corrected mode).
+      use_l1_norm: skip the L2 translation-distance check in clustering
+        (kernel.cu:740-746; the "L1" is the implicit grid-cell adjacency).
+      use_averaged_clusters: weighted-average the cluster translation
+        (kernel.cu:747-752).
+      scene_leaf_size: voxel-grid leaf for scene downsampling
+        (alignment.cpp:131, default 10.0).
+      validation_translation_threshold: match iff translation error is below
+        this fraction of the model diameter (alignment.cpp:141-142).
+      validation_rotation_threshold_deg: match iff rotation error (rad) below
+        this many degrees (alignment.cpp:143-144, default 12°).
+    """
+
+    n_angle: int = 30
+    tau_d: float = 0.1
+    ref_point_df: int = 1
+    vote_count_threshold: float = 0.4
+    max_poses: int = 1024
+    cluster_center_cell: bool = False
+    use_l1_norm: bool = False
+    use_averaged_clusters: bool = False
+    scene_leaf_size: float = 10.0
+    validation_translation_threshold: float = 0.1
+    validation_rotation_threshold_deg: float = 12.0
+
+    @property
+    def d_angle(self) -> float:
+        """Angle quantization step, D_ANGLE0 = 2π/n_angle (kernel.h:16)."""
+        return 2.0 * math.pi / self.n_angle
+
+    @property
+    def rot_thresh(self) -> float:
+        """Quaternion clustering threshold, ROT_THRESH = 2*d_angle (kernel.h:17)."""
+        return 2.0 * self.d_angle
+
+    @property
+    def n_feat_angle_bins(self) -> int:
+        """Feature angles live in [0, π]; with step 2π/n_angle that is
+        n_angle/2 + 1 possible truncating-quantized bins (bin n_angle/2 only
+        at exactly π)."""
+        return self.n_angle // 2 + 1
+
+    @property
+    def n_alpha_bins(self) -> int:
+        """α+π lives in [0, 2π]; truncating quantization yields bins
+        0..n_angle (bin n_angle only at exactly 2π), cf. kernel.cu:341-342
+        which packs α into 6 bits allowing bin 30."""
+        return self.n_angle + 1

@@ -1,0 +1,228 @@
+"""Drost-2010 PPF 6-DoF matcher — the flagship model.
+
+End-to-end equivalent of the reference's Scene/Model classes and
+Model::ppf_lookup (src/cuda/scene.cu:24-99, model.cu:43-306): build a
+reusable model description offline, then match it against scenes with one
+jitted, static-shape pipeline:
+
+  scene points ──pairwise PPF keys + α_s──┐
+                                          ├─ expansion voting ─ dense
+  ModelDescription (key table + α_m) ─────┘   accumulator (R, n_m, 32)
+                                              │
+                top-K + relative threshold ───┤  (model.cu:148-170)
+                batched pose reconstruction ──┤  (kernel.cu:605-645)
+                weighted counts ──────────────┤  (kernel.cu:766-782)
+                dense pose clustering ────────┤  (kernel.cu:647-763)
+                argmax winner ────────────────┘  (model.cu:293-295)
+
+Unlike the reference — which rebuilds the model description for every
+(scene, model) pair despite it being scene-independent (acknowledged
+inefficiency, ppf.cu:64-67) — the description here is an explicit,
+serializable pytree built once per model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from objective_slam_tpu.config import PPFConfig
+from objective_slam_tpu.ops import clustering, ppf as ppf_ops, transforms as tr
+from objective_slam_tpu.ops import voting
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["points", "normals", "beta", "gamma", "vote_weights",
+                 "table", "d_dist"],
+    meta_fields=["n_points", "num_keys", "max_dist_bin", "diameter"])
+@dataclasses.dataclass(frozen=True)
+class ModelDescription:
+    """Serializable, scene-independent model description (pytree).
+
+    Replaces Model's GPU-resident state (model.h:61-115): the
+    ParallelHashArray becomes a direct-addressed table, the per-vote
+    trans_model_scene math is strength-reduced into per-point canonical
+    angles (beta/gamma) and per-pair α_m. Static metadata (sizes) rides in
+    the pytree aux so jitted matchers see static shapes."""
+    points: jax.Array        # (n_m, 3) float32
+    normals: jax.Array       # (n_m, 3) float32
+    beta: jax.Array          # (n_m,) canonical Roty angle per point
+    gamma: jax.Array         # (n_m,) canonical Rotz angle per point
+    vote_weights: jax.Array  # (n_m,) per-point vote weights (model.cu:67,91-93)
+    table: voting.KeyTable
+    d_dist: jax.Array        # () float32
+    # --- static metadata (python ints; stable across traces) ---
+    n_points: int
+    num_keys: int
+    max_dist_bin: int
+    diameter: float
+
+
+def build_model_description(points, normals, config: PPFConfig = PPFConfig(),
+                            d_dist: float | None = None,
+                            vote_weights=None) -> ModelDescription:
+    """Build the model description (Model ctor, model.cu:43-82).
+
+    d_dist defaults to tau_d · (max bbox edge) — the CLI convention
+    (alignment.cpp:246-253). The key-space size is bounded by the bbox
+    diagonal, keeping shapes static."""
+    pts = np.asarray(points, np.float32)
+    nrm = np.asarray(normals, np.float32)
+    n = pts.shape[0]
+    bbox = pts.max(axis=0) - pts.min(axis=0)
+    diameter = float(bbox.max())
+    if d_dist is None:
+        d_dist = config.tau_d * diameter
+    d_dist = float(d_dist)
+    # Upper bound on any pairwise distance bin: the bbox diagonal.
+    max_dist_bin = int(np.linalg.norm(bbox) / d_dist) + 1
+    num_keys = ppf_ops.num_keys(max_dist_bin)
+
+    keys, alpha = ppf_ops.pairwise_ppf_keys(
+        pts, nrm, d_dist, config.d_angle, max_dist_bin)
+    table = voting.build_key_table(keys, alpha, num_keys)
+    beta, gamma = tr.canonical_angles(jnp.asarray(pts), jnp.asarray(nrm))
+    if vote_weights is None:
+        vote_weights = jnp.ones((n,), jnp.float32)
+    return ModelDescription(
+        points=jnp.asarray(pts), normals=jnp.asarray(nrm),
+        beta=beta, gamma=gamma,
+        vote_weights=jnp.asarray(vote_weights, jnp.float32),
+        table=table, d_dist=jnp.float32(d_dist),
+        n_points=n, num_keys=num_keys, max_dist_bin=max_dist_bin,
+        diameter=diameter)
+
+
+class MatchResult(NamedTuple):
+    """Result of matching one model against one scene."""
+    pose: jax.Array           # (4, 4) winning transform (translation from
+                              # clustering, rotation from the raw winner —
+                              # ppf.cu:80-92 semantics)
+    cluster_votes: jax.Array  # () float32 winner's clustered vote count
+    num_votes: jax.Array      # () int32 total Hough votes cast
+    overflowed: jax.Array     # () bool vote capacity exceeded
+    poses: jax.Array          # (max_poses, 4, 4) candidate poses
+    pose_votes: jax.Array     # (max_poses,) raw vote counts (desc)
+    pose_keep: jax.Array      # (max_poses,) threshold survivors mask
+    clustered_counts: jax.Array  # (max_poses,) clustered weighted counts
+    accumulator: jax.Array    # (R, n_m, 32) dense tallies (diagnostics)
+
+
+def _match_core(model: ModelDescription, scene_points, scene_normals,
+                *, ref_point_df: int, vote_cap: int, config: PPFConfig
+                ) -> MatchResult:
+    """The jitted matching pipeline (Model::ppf_lookup, model.cu:269-306)."""
+    scene_points = jnp.asarray(scene_points, jnp.float32)
+    scene_normals = jnp.asarray(scene_normals, jnp.float32)
+    n_s = scene_points.shape[0]
+    ref_idx = jnp.arange(0, n_s, ref_point_df, dtype=jnp.int32)
+
+    # Scene PPFs (Scene ctor: ppf_kernel + hashing, scene.cu:24-55).
+    keys, alpha_s = ppf_ops.pairwise_ppf_keys(
+        scene_points, scene_normals, model.d_dist, config.d_angle,
+        model.max_dist_bin, ref_indices=ref_idx)
+
+    # Voting (ComputeUniqueVotes, model.cu:95-171).
+    votes = voting.cast_votes(keys, alpha_s, model.table, model.n_points,
+                              config.d_angle, vote_cap)
+    top = voting.top_votes(votes.accumulator, config.vote_count_threshold,
+                           config.max_poses)
+
+    # Pose reconstruction (trans_calc_kernel2, kernel.cu:605-645), batched.
+    s_ref_pts = scene_points[ref_idx]
+    s_ref_nrm = scene_normals[ref_idx]
+    s_beta, s_gamma = tr.canonical_angles(s_ref_pts, s_ref_nrm)
+    poses = tr.pose_from_vote(
+        top.alpha_idx,
+        model.points[top.model_idx], model.beta[top.model_idx],
+        model.gamma[top.model_idx],
+        s_ref_pts[top.ref_idx], s_beta[top.ref_idx], s_gamma[top.ref_idx],
+        config.d_angle)
+
+    # Weighted vote counts (vote_weight_kernel, kernel.cu:766-782).
+    weighted = top.counts.astype(jnp.float32) * \
+        model.vote_weights[top.model_idx]
+
+    # Clustering (ClusterTransformations, model.cu:202-244) + winner
+    # (model.cu:293-295).
+    t = poses[:, :3, 3]
+    q = tr.hrotmat2quat(poses)
+    cl = clustering.cluster_poses_dense(
+        t, q, weighted, top.keep,
+        model.d_dist, config.rot_thresh,
+        include_center_cell=config.cluster_center_cell,
+        use_l1_norm=config.use_l1_norm,
+        use_averaged_clusters=config.use_averaged_clusters)
+    win = jnp.argmax(cl.vote_counts)
+    pose = poses[win].at[:3, 3].set(cl.translations[win])
+
+    return MatchResult(
+        pose=pose, cluster_votes=cl.vote_counts[win],
+        num_votes=votes.num_votes, overflowed=votes.overflowed,
+        poses=poses, pose_votes=top.counts, pose_keep=top.keep,
+        clustered_counts=cl.vote_counts,
+        accumulator=votes.accumulator)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ref_point_df", "vote_cap", "config"))
+def _match_jit(model, scene_points, scene_normals, ref_point_df, vote_cap,
+               config):
+    return _match_core(model, scene_points, scene_normals,
+                       ref_point_df=ref_point_df, vote_cap=vote_cap,
+                       config=config)
+
+
+def match(model: ModelDescription, scene_points, scene_normals,
+          config: PPFConfig = PPFConfig(),
+          vote_cap: int | None = None) -> MatchResult:
+    """Match a model description against a scene cloud.
+
+    vote_cap defaults to 32 votes per scene pair — callers with highly
+    repetitive geometry should raise it and check `result.overflowed`."""
+    n_s = int(np.asarray(scene_points).shape[0])
+    n_ref = (n_s + config.ref_point_df - 1) // config.ref_point_df
+    if vote_cap is None:
+        vote_cap = 32 * n_ref * n_s
+    return _match_jit(model, scene_points, scene_normals,
+                      config.ref_point_df, int(vote_cap), config)
+
+
+def match_accumulator_only(model: ModelDescription, scene_points,
+                           scene_normals, config: PPFConfig = PPFConfig(),
+                           vote_cap: int | None = None) -> voting.VoteResult:
+    """Voting only — the MATLAB voting_scheme.m dense-accumulator semantics,
+    for golden tests and benchmarking the hot path in isolation."""
+    scene_points = jnp.asarray(scene_points, jnp.float32)
+    scene_normals = jnp.asarray(scene_normals, jnp.float32)
+    n_s = scene_points.shape[0]
+    n_ref = (n_s + config.ref_point_df - 1) // config.ref_point_df
+    if vote_cap is None:
+        vote_cap = 32 * n_ref * n_s
+    ref_idx = jnp.arange(0, n_s, config.ref_point_df, dtype=jnp.int32)
+    keys, alpha_s = ppf_ops.pairwise_ppf_keys(
+        scene_points, scene_normals, model.d_dist, config.d_angle,
+        model.max_dist_bin, ref_indices=ref_idx)
+    return voting.cast_votes(keys, alpha_s, model.table, model.n_points,
+                             config.d_angle, int(vote_cap))
+
+
+def match_greedy_cpu(model: ModelDescription, scene_points, scene_normals,
+                     config: PPFConfig = PPFConfig(),
+                     vote_cap: int | None = None):
+    """Match with the reference's CPU clustering mode
+    (ClusterTransformationsCPU, model.cu:246-266): device voting + pose
+    reconstruction, host greedy clustering; returns (pose, GreedyCluster)."""
+    res = match(model, scene_points, scene_normals, config, vote_cap)
+    keep = np.asarray(res.pose_keep)
+    poses = np.asarray(res.poses)[keep]
+    votes = np.asarray(res.pose_votes)[keep].astype(np.float32)
+    gc = clustering.cluster_poses_greedy(
+        poses, votes, float(model.d_dist), config.d_angle)
+    return gc.poses[0], gc
