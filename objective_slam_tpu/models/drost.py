@@ -179,17 +179,41 @@ def _match_jit(model, scene_points, scene_normals, ref_point_df, vote_cap,
                        config=config)
 
 
+@functools.partial(jax.jit, static_argnames=("ref_point_df", "d_angle"))
+def _count_votes_jit(model, scene_points, scene_normals, ref_point_df,
+                     d_angle):
+    """Cheap exact vote count (the reference's count/scan phase,
+    model.cu:99-121) used to size the static expansion buffer."""
+    scene_points = jnp.asarray(scene_points, jnp.float32)
+    n_s = scene_points.shape[0]
+    ref_idx = jnp.arange(0, n_s, ref_point_df, dtype=jnp.int32)
+    keys, _ = ppf_ops.pairwise_ppf_keys(
+        scene_points, jnp.asarray(scene_normals, jnp.float32), model.d_dist,
+        d_angle, model.max_dist_bin, ref_indices=ref_idx)
+    flat = keys.reshape(-1)
+    valid = flat != ppf_ops.INVALID_KEY
+    cnt = jnp.where(valid, model.table.counts[jnp.where(valid, flat, 0)], 0)
+    return jnp.sum(cnt, dtype=jnp.int64 if jax.config.jax_enable_x64
+                   else jnp.int32)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(10, (int(x) - 1).bit_length())
+
+
 def match(model: ModelDescription, scene_points, scene_normals,
           config: PPFConfig = PPFConfig(),
           vote_cap: int | None = None) -> MatchResult:
     """Match a model description against a scene cloud.
 
-    vote_cap defaults to 32 votes per scene pair — callers with highly
-    repetitive geometry should raise it and check `result.overflowed`."""
-    n_s = int(np.asarray(scene_points).shape[0])
-    n_ref = (n_s + config.ref_point_df - 1) // config.ref_point_df
+    When vote_cap is None, an exact count pass sizes the vote buffer and
+    rounds it up to a power of two — never overflows, with at most
+    log2-many distinct compilations. Pass an explicit vote_cap for
+    fully-static pipelines (and check `result.overflowed`)."""
     if vote_cap is None:
-        vote_cap = 32 * n_ref * n_s
+        total = int(_count_votes_jit(model, scene_points, scene_normals,
+                                     config.ref_point_df, config.d_angle))
+        vote_cap = _next_pow2(total)
     return _match_jit(model, scene_points, scene_normals,
                       config.ref_point_df, int(vote_cap), config)
 
@@ -202,9 +226,10 @@ def match_accumulator_only(model: ModelDescription, scene_points,
     scene_points = jnp.asarray(scene_points, jnp.float32)
     scene_normals = jnp.asarray(scene_normals, jnp.float32)
     n_s = scene_points.shape[0]
-    n_ref = (n_s + config.ref_point_df - 1) // config.ref_point_df
     if vote_cap is None:
-        vote_cap = 32 * n_ref * n_s
+        vote_cap = _next_pow2(int(_count_votes_jit(
+            model, scene_points, scene_normals, config.ref_point_df,
+            config.d_angle)))
     ref_idx = jnp.arange(0, n_s, config.ref_point_df, dtype=jnp.int32)
     keys, alpha_s = ppf_ops.pairwise_ppf_keys(
         scene_points, scene_normals, model.d_dist, config.d_angle,

@@ -1,0 +1,217 @@
+"""Point-cloud preprocessing: voxel-grid downsampling, normal estimation,
+diameter, downsamplers, scene centering.
+
+Replaces the reference's CPU/PCL preprocessing layer:
+  * voxelGridDownsample (alignment.cpp:79-87) and the standalone voxel_grid
+    CLI (pcl/voxel_grid/voxel_grid.cpp:6-31)
+  * randomDownsample / sequentialDownsample (alignment.cpp:57-76)
+  * model diameter from bbox (alignment.cpp:246-257) and the MATLAB
+    max-dist-from-bbox-center convention (model_description.m:5-13)
+  * mesh vertex normals (matlab/compute_normals.m:1-24) and k-NN PCA
+    normals (driver requirement; PCL NormalEstimation equivalent)
+  * CenterScene (include/impl/scene_generation.hpp:88-103)
+
+Unlike the reference, the voxel grid and normal estimation run **on
+device** (sort + segment reductions; distance matrices on the MXU) so a raw
+100k-point scene never round-trips to the host between load and match.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class VoxelizedCloud(NamedTuple):
+    """Padded, static-shape voxel-grid output.
+
+    points/normals — (capacity, 3); rows ≥ num_voxels are padding placed at
+    a far sentinel (no PPF key can match them) with zero normals.
+    num_voxels   — () int32 number of real rows
+    dropped      — () bool: more occupied voxels than capacity (excess
+                   merged into the last row; raise capacity if set)
+    """
+    points: jax.Array
+    normals: jax.Array
+    num_voxels: jax.Array
+    dropped: jax.Array
+
+
+# Sentinel displacement for padding rows: far enough that any pair distance
+# bin overflows max_dist_bin and maps to INVALID_KEY.
+_PAD_OFFSET = 1.0e7
+
+
+def voxel_downsample(points, normals, leaf, capacity: int | None = None
+                     ) -> VoxelizedCloud:
+    """Voxel-grid downsample with per-voxel centroids of points and normals
+    (pcl::VoxelGrid semantics, alignment.cpp:79-87), as a static-shape JAX
+    op: cell keys -> sort -> segment means.
+
+    capacity bounds the number of output voxels (default: len(points),
+    always exact)."""
+    p = jnp.asarray(points, jnp.float32)
+    nr = jnp.asarray(normals, jnp.float32)
+    n = p.shape[0]
+    if capacity is None:
+        capacity = n
+    leaf = jnp.float32(leaf)
+
+    lo = jnp.min(p, axis=0)
+    cell = jnp.floor((p - lo) / leaf).astype(jnp.int32)          # (n, 3)
+    dims = jnp.max(cell, axis=0) + 1
+    key = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+
+    order = jnp.argsort(key, stable=True)
+    skey = key[order]
+    sp = p[order]
+    sn = nr[order]
+    new_seg = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (skey[1:] != skey[:-1]).astype(jnp.int32)])
+    seg = jnp.cumsum(new_seg) - 1                                 # (n,)
+    num_voxels = seg[-1] + 1
+    dropped = num_voxels > capacity
+    seg = jnp.minimum(seg, capacity - 1)
+
+    ones = jnp.ones((n,), jnp.float32)
+    cnt = jax.ops.segment_sum(ones, seg, num_segments=capacity)
+    psum = jax.ops.segment_sum(sp, seg, num_segments=capacity)
+    nsum = jax.ops.segment_sum(sn, seg, num_segments=capacity)
+    denom = jnp.where(cnt > 0, cnt, 1.0)[:, None]
+    cent = psum / denom
+    nmean = nsum / denom
+
+    valid = (jnp.arange(capacity) < num_voxels)
+    pad = lo - _PAD_OFFSET
+    out_p = jnp.where(valid[:, None], cent, pad)
+    out_n = jnp.where(valid[:, None], nmean, 0.0)
+    return VoxelizedCloud(points=out_p, normals=out_n,
+                          num_voxels=num_voxels, dropped=dropped)
+
+
+def voxel_downsample_np(points, normals, leaf):
+    """Host-side exact voxel grid (dynamic output size) for CLI paths."""
+    p = np.asarray(points, np.float64)
+    nr = np.asarray(normals, np.float64) if normals is not None else None
+    lo = p.min(axis=0)
+    cell = np.floor((p - lo) / leaf).astype(np.int64)
+    dims = cell.max(axis=0) + 1
+    key = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    uniq, start, cnt = np.unique(skey, return_index=True, return_counts=True)
+    out_p = np.add.reduceat(p[order], start, axis=0) / cnt[:, None]
+    out_n = None
+    if nr is not None:
+        out_n = np.add.reduceat(nr[order], start, axis=0) / cnt[:, None]
+        out_n = out_n.astype(np.float32)
+    return out_p.astype(np.float32), out_n
+
+
+def random_downsample(points, normals, fraction, seed=0):
+    """Keep ⌊fraction·n⌋ random points (alignment.cpp:57-64)."""
+    n = np.asarray(points).shape[0]
+    k = int(fraction * n)
+    idx = np.random.default_rng(seed).permutation(n)[:k]
+    nrm = None if normals is None else np.asarray(normals)[idx]
+    return np.asarray(points)[idx], nrm
+
+
+def sequential_downsample(points, normals, step: int):
+    """Keep every step-th point (alignment.cpp:67-76; MATLAB drost.m
+    stride)."""
+    nrm = None if normals is None else np.asarray(normals)[::step]
+    return np.asarray(points)[::step], nrm
+
+
+def bbox_diameter(points) -> float:
+    """Max bbox edge — the CLI's cheap model-diameter estimate
+    (alignment.cpp:246-253: 'approximate it with the max difference between
+    coords')."""
+    p = np.asarray(points)
+    return float((p.max(axis=0) - p.min(axis=0)).max())
+
+
+def bbox_center_radius(points) -> float:
+    """Max distance from the bbox center — the MATLAB diameter convention
+    (model_description.m:5-13); d_dist = 0.1 · this."""
+    p = np.asarray(points, np.float64)
+    center = (p.min(axis=0) + p.max(axis=0)) / 2
+    return float(np.linalg.norm(p - center, axis=1).max())
+
+
+def center_scene(points, offset=1.0):
+    """Translate so the centroid sits at (offset, offset, offset) — the
+    reference moves scenes into the positive octant because 'Having the
+    scene be in a different octant breaks things'
+    (scene_generation.hpp:88-103). Returns (points, T_applied)."""
+    p = np.asarray(points, np.float32)
+    c = p.mean(axis=0)
+    shift = -c + offset
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = shift
+    return p + shift, T
+
+
+def estimate_normals_knn(points, k: int = 16, viewpoint=(0.0, 0.0, 0.0),
+                         orient: str = "viewpoint"):
+    """k-NN PCA surface normals.
+
+    TPU-native: the n×n distance matrix rides the MXU (‖a−b‖² =
+    ‖a‖²+‖b‖²−2a·b), top_k picks neighborhoods, covariances are batched
+    3×3 eigenproblems. For each point the normal is the eigenvector of the
+    neighborhood covariance with the smallest eigenvalue (the PCL
+    NormalEstimation algorithm the reference relies on upstream of its PLY
+    inputs; normals feed compute_ppf, kernel.cu:109-122).
+
+    orient:
+      'viewpoint' — flip toward `viewpoint` (sensor position; PCL default).
+        Correct for range scans where every surface faces the sensor.
+      'outward'   — flip away from the cloud centroid. Correct for closed,
+        roughly star-convex objects (matches mesh outward normals; PPF
+        matching needs the *same* orientation convention on model and
+        scene or back-facing votes cancel).
+    """
+    p = jnp.asarray(points, jnp.float32)
+    n = p.shape[0]
+    k = min(k, n)
+    sq = jnp.sum(p * p, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        p, p.T, preferred_element_type=jnp.float32, precision=_HI)
+    # top_k of negative distance = k nearest (self included).
+    _, idx = jax.lax.top_k(-d2, k)                                # (n, k)
+    nbrs = p[idx]                                                 # (n, k, 3)
+    mean = jnp.mean(nbrs, axis=1, keepdims=True)
+    centered = nbrs - mean
+    cov = jnp.einsum("nki,nkj->nij", centered, centered,
+                     precision=_HI) / k
+    # Smallest-eigenvalue eigenvector of each symmetric 3x3.
+    w, v = jnp.linalg.eigh(cov)
+    normal = v[..., 0]                                            # (n, 3)
+    if orient == "outward":
+        ref_dir = p - jnp.mean(p, axis=0)
+    else:
+        ref_dir = jnp.asarray(viewpoint, jnp.float32) - p
+    flip = jnp.sum(normal * ref_dir, axis=-1) < 0
+    return jnp.where(flip[:, None], -normal, normal)
+
+
+def mesh_vertex_normals(points, faces):
+    """Area-weighted vertex normals from a triangle mesh — the MATLAB
+    offline path (compute_normals.m: triangulation vertexNormal)."""
+    p = np.asarray(points, np.float64)
+    f = np.asarray(faces, np.int64)
+    v0, v1, v2 = p[f[:, 0]], p[f[:, 1]], p[f[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)        # area-weighted face normals
+    out = np.zeros_like(p)
+    for c in range(3):
+        np.add.at(out, f[:, c], fn)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    out = out / np.where(norms > 0, norms, 1.0)
+    return out.astype(np.float32)

@@ -1,0 +1,139 @@
+"""End-to-end pose recovery tests — the automated version of the
+reference's synthetic-scene integration testing (scene_generation.hpp +
+CLI validation, SURVEY.md §4.3-4.4)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import objective_slam_tpu as ost
+from objective_slam_tpu.config import PPFConfig
+from objective_slam_tpu.models import drost
+from objective_slam_tpu.ops import transforms as tr
+from objective_slam_tpu.utils import pointcloud as pc, synthetic, validation
+
+
+def _recover(rng, cfg, n_model=100, n_clutter=0, **match_kw):
+    mp, mn = synthetic.blob_cloud(rng, n_model)
+    if n_clutter:
+        cp, cn = synthetic.clutter_cloud(rng, n_clutter)
+    else:
+        cp = cn = None
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn, cp, cn)
+    desc = ost.build_model_description(mp, mn, cfg)
+    res = ost.match(desc, sp, sn, cfg, **match_kw)
+    return desc, res, T_true
+
+
+def _check(desc, res, T_true, cfg=PPFConfig()):
+    v = validation.validate_pose(np.asarray(res.pose), T_true,
+                                 desc.diameter, cfg)
+    assert not bool(res.overflowed)
+    assert v.match, (v.trans_err, math.degrees(v.rot_err))
+    return v
+
+
+def test_recover_clean_scene(rng):
+    cfg = PPFConfig(max_poses=512)
+    desc, res, T_true = _recover(rng, cfg)
+    _check(desc, res, T_true)
+
+
+def test_recover_cluttered_scene(rng):
+    cfg = PPFConfig(max_poses=512)
+    desc, res, T_true = _recover(rng, cfg, n_clutter=80,
+                                 vote_cap=4_000_000)
+    _check(desc, res, T_true)
+
+
+def test_recover_with_ref_point_df(rng):
+    cfg = PPFConfig(max_poses=512, ref_point_df=2)
+    desc, res, T_true = _recover(rng, cfg, n_model=140)
+    _check(desc, res, T_true)
+
+
+def test_recover_averaged_clusters(rng):
+    cfg = PPFConfig(max_poses=512, use_averaged_clusters=True)
+    desc, res, T_true = _recover(rng, cfg)
+    _check(desc, res, T_true)
+
+
+def test_recover_l1_norm(rng):
+    cfg = PPFConfig(max_poses=512, use_l1_norm=True)
+    desc, res, T_true = _recover(rng, cfg)
+    _check(desc, res, T_true)
+
+
+def test_recover_corrected_clustering(rng):
+    cfg = PPFConfig(max_poses=512, cluster_center_cell=True)
+    desc, res, T_true = _recover(rng, cfg)
+    _check(desc, res, T_true)
+
+
+def test_recover_greedy_cpu_clustering(rng):
+    """The reference's --cpu_clustering mode (model.cu:246-266)."""
+    cfg = PPFConfig(max_poses=512)
+    mp, mn = synthetic.blob_cloud(rng, 100)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    desc = ost.build_model_description(mp, mn, cfg)
+    pose, clusters = drost.match_greedy_cpu(desc, sp, sn, cfg)
+    v = validation.validate_pose(pose, T_true, desc.diameter, cfg)
+    assert v.match, (v.trans_err, math.degrees(v.rot_err))
+    assert clusters.votes[0] >= clusters.votes[-1]
+
+
+def test_clutter_only_low_confidence(rng):
+    """Model absent -> much lower winning vote count than model present."""
+    cfg = PPFConfig(max_poses=512)
+    mp, mn = synthetic.blob_cloud(rng, 100)
+    desc = ost.build_model_description(mp, mn, cfg)
+    sp, sn, _ = synthetic.plant_model(rng, mp, mn)
+    present = ost.match(desc, sp, sn, cfg)
+    cp, cn = synthetic.clutter_cloud(rng, 100)
+    absent = ost.match(desc, cp, cn, cfg, vote_cap=4_000_000)
+    assert int(absent.pose_votes[0]) < 0.2 * int(present.pose_votes[0])
+
+
+def test_voxelized_scene_recovery(rng):
+    """Full preprocessing chain: dense scene -> device voxel grid (with
+    sentinel padding) -> match. Padding must not perturb the pose."""
+    cfg = PPFConfig(max_poses=512)
+    mp, mn = synthetic.blob_cloud(rng, 150)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    # Duplicate points with jitter to simulate a dense raw scan.
+    dense_p = np.concatenate([sp + rng.normal(scale=1e-3, size=sp.shape)
+                              for _ in range(4)]).astype(np.float32)
+    dense_n = np.concatenate([sn] * 4).astype(np.float32)
+    vox = pc.voxel_downsample(dense_p, dense_n, leaf=0.05)
+    desc = ost.build_model_description(mp, mn, cfg)
+    res = ost.match(desc, np.asarray(vox.points), np.asarray(vox.normals),
+                    cfg, vote_cap=6_000_000)
+    v = validation.validate_pose(np.asarray(res.pose), T_true,
+                                 desc.diameter, cfg)
+    assert v.match, (v.trans_err, math.degrees(v.rot_err))
+
+
+def test_match_result_diagnostics(rng):
+    cfg = PPFConfig(max_poses=256)
+    desc, res, T_true = _recover(rng, cfg, n_model=60)
+    assert res.poses.shape == (256, 4, 4)
+    counts = np.asarray(res.pose_votes)
+    assert (np.diff(counts) <= 0).all()   # descending
+    assert int(res.num_votes) == int(np.asarray(res.accumulator).sum())
+
+
+def test_recovery_with_estimated_normals(rng):
+    """Full chain with kNN-estimated normals on BOTH sides (consistent
+    'outward' orientation). Mixing conventions is known to fail — PPF
+    requires one convention (documented in estimate_normals_knn)."""
+    cfg = PPFConfig(max_poses=512)
+    mp, _ = synthetic.blob_cloud(rng, 150)
+    mn_est = np.asarray(pc.estimate_normals_knn(mp, k=12, orient="outward"))
+    sp, _, T_true = synthetic.plant_model(rng, mp, mn_est)
+    s_est = np.asarray(pc.estimate_normals_knn(sp, k=12, orient="outward"))
+    desc = ost.build_model_description(mp, mn_est, cfg)
+    res = ost.match(desc, sp, s_est, cfg)
+    v = validation.validate_pose(np.asarray(res.pose), T_true,
+                                 desc.diameter, cfg)
+    assert v.match, (v.trans_err, math.degrees(v.rot_err))

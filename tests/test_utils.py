@@ -1,0 +1,159 @@
+"""Tests for PLY I/O, voxel grid, normals, synthetic generation, validation."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from objective_slam_tpu.utils import ply, pointcloud as pc, synthetic, validation
+
+
+def test_ply_roundtrip_binary(tmp_path, rng):
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    nrm = rng.normal(size=(50, 3)).astype(np.float32)
+    path = tmp_path / "c.ply"
+    ply.write_ply(path, pts, nrm, binary=True)
+    cloud = ply.read_ply(path)
+    np.testing.assert_array_equal(cloud.points, pts)
+    np.testing.assert_array_equal(cloud.normals, nrm)
+
+
+def test_ply_roundtrip_ascii(tmp_path, rng):
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    path = tmp_path / "c.ply"
+    ply.write_ply(path, pts, None, binary=False)
+    cloud = ply.read_ply(path)
+    np.testing.assert_allclose(cloud.points, pts, rtol=1e-6)
+    assert cloud.normals is None
+
+
+def test_ply_faces_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(10, 3)).astype(np.float32)
+    faces = np.array([[0, 1, 2], [2, 3, 4]], np.int32)
+    path = tmp_path / "m.ply"
+    ply.write_ply(path, pts, None, binary=True, faces=faces)
+    cloud = ply.read_ply(path)
+    np.testing.assert_array_equal(cloud.faces, faces)
+
+
+def test_voxel_downsample_matches_numpy(rng):
+    pts = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+    nrm = rng.normal(size=(500, 3)).astype(np.float32)
+    leaf = 0.2
+    out = pc.voxel_downsample(pts, nrm, leaf)
+    np_p, np_n = pc.voxel_downsample_np(pts, nrm, leaf)
+    nv = int(out.num_voxels)
+    assert nv == len(np_p)
+    assert not bool(out.dropped)
+    got_p = np.asarray(out.points)[:nv]
+    got_n = np.asarray(out.normals)[:nv]
+    # Same voxel set; order is by linear cell key in both paths.
+    np.testing.assert_allclose(np.sort(got_p, axis=0), np.sort(np_p, axis=0),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.sort(got_n, axis=0), np.sort(np_n, axis=0),
+                               atol=1e-5)
+
+
+def test_voxel_downsample_padding_is_unmatchable(rng):
+    pts = rng.uniform(0, 1, size=(100, 3)).astype(np.float32)
+    nrm = rng.normal(size=(100, 3)).astype(np.float32)
+    out = pc.voxel_downsample(pts, nrm, 0.5)
+    nv = int(out.num_voxels)
+    pad = np.asarray(out.points)[nv:]
+    assert (pad < -1e6).all()
+
+
+def test_voxel_capacity_overflow(rng):
+    pts = rng.uniform(0, 1, size=(100, 3)).astype(np.float32)
+    nrm = np.ones((100, 3), np.float32)
+    out = pc.voxel_downsample(pts, nrm, 0.01, capacity=4)
+    assert bool(out.dropped)
+
+
+def test_knn_normals_on_plane(rng):
+    # Points on z=0 plane -> normals ±z.
+    pts = np.concatenate([rng.uniform(0, 1, size=(200, 2)),
+                          np.zeros((200, 1))], axis=1).astype(np.float32)
+    n = np.asarray(pc.estimate_normals_knn(pts, k=10,
+                                           viewpoint=(0.5, 0.5, 5.0)))
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-4)
+    assert (n[:, 2] > 0).all()  # oriented toward viewpoint above the plane
+
+
+def test_knn_normals_on_sphere(rng):
+    v = rng.normal(size=(500, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    n = np.asarray(pc.estimate_normals_knn(v.astype(np.float32), k=12,
+                                           viewpoint=(10.0, 0.0, 0.0)))
+    # Normal should align with radial direction (sign flipped toward vp for
+    # the visible hemisphere at least); check |cos| large everywhere.
+    cos = np.abs(np.sum(n * v, axis=1))
+    assert np.quantile(cos, 0.05) > 0.95
+
+
+def test_mesh_vertex_normals():
+    # Unit square split in two triangles in the z=0 plane.
+    pts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    n = pc.mesh_vertex_normals(pts, faces)
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)
+
+
+def test_bbox_diameter():
+    pts = np.array([[0, 0, 0], [3, 1, 2]], np.float32)
+    assert pc.bbox_diameter(pts) == 3.0
+    assert abs(pc.bbox_center_radius(pts) -
+               np.linalg.norm([1.5, 0.5, 1.0])) < 1e-6
+
+
+def test_center_scene(rng):
+    pts = rng.normal(size=(50, 3)).astype(np.float32) + 10
+    out, T = pc.center_scene(pts)
+    np.testing.assert_allclose(out.mean(axis=0), [1, 1, 1], atol=1e-4)
+    np.testing.assert_allclose(pts @ T[:3, :3].T + T[:3, 3], out, atol=1e-5)
+
+
+def test_downsamplers(rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    nrm = rng.normal(size=(100, 3)).astype(np.float32)
+    p, n = pc.sequential_downsample(pts, nrm, 5)
+    assert p.shape == (20, 3)
+    np.testing.assert_array_equal(p, pts[::5])
+    p2, n2 = pc.random_downsample(pts, nrm, 0.3)
+    assert p2.shape == (30, 3)
+
+
+def test_shoemake_rotation_uniform(rng):
+    # Quaternions are unit; rotation matrices orthonormal.
+    for _ in range(20):
+        q = synthetic.random_rotation_quat(rng)
+        assert abs(np.linalg.norm(q) - 1.0) < 1e-6
+        R = synthetic.quat_to_matrix(q)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        assert abs(np.linalg.det(R) - 1.0) < 1e-5
+
+
+def test_plant_model_ground_truth(rng):
+    mp, mn = synthetic.blob_cloud(rng, 40)
+    sp, sn, T = synthetic.plant_model(rng, mp, mn)
+    # The planted points must equal T applied to the model.
+    expect = mp @ T[:3, :3].T + T[:3, 3]
+    np.testing.assert_allclose(sp, expect, atol=1e-5)
+    # Normals rotate only.
+    np.testing.assert_allclose(sn, mn @ T[:3, :3].T, atol=1e-5)
+
+
+def test_validation_roundtrip(tmp_path, rng):
+    mp, mn = synthetic.blob_cloud(rng, 30)
+    _, _, T = synthetic.plant_model(rng, mp, mn)
+    path = tmp_path / "truth.txt"
+    validation.write_truth_file(path, T)
+    T2 = validation.read_truth_file(path)
+    np.testing.assert_allclose(T2, T, rtol=1e-6)
+    res = validation.validate_pose(T2, T, model_diameter=2.0)
+    assert res.match and res.trans_match and res.rot_match
+    # Perturb rotation beyond 12 degrees -> rot mismatch.
+    from objective_slam_tpu.ops import transforms as tr
+    bad = np.asarray(T2 @ np.asarray(tr.rotx(math.radians(20))))
+    res2 = validation.validate_pose(bad, T, model_diameter=2.0)
+    assert not res2.rot_match and not res2.match

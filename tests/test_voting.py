@@ -1,0 +1,126 @@
+"""Golden tests: the TPU voting engine vs the NumPy/MATLAB-semantics
+reference on small clouds — the rebuild's equivalent of the reference's
+MATLAB↔CUDA cross-validation (SURVEY.md §4.1)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from objective_slam_tpu.config import PPFConfig
+from objective_slam_tpu.models import drost
+from objective_slam_tpu.ops import ppf as ppf_ops, voting
+import reference_impl as ref
+
+D_ANGLE = 2 * math.pi / 30
+
+
+def small_cloud(rng, n):
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return pts, nrm.astype(np.float32)
+
+
+def test_key_table_contents(rng):
+    """Table buckets must contain exactly the reference's model-description
+    pair lists (model_description.m:30-68), keyed identically."""
+    pts, nrm = small_cloud(rng, 14)
+    d_dist = 0.4
+    max_bin = 32
+    keys, alpha = ppf_ops.pairwise_ppf_keys(pts, nrm, d_dist, D_ANGLE,
+                                            max_bin)
+    table = voting.build_key_table(keys, alpha, ppf_ops.num_keys(max_bin))
+    ref_table = ref.model_description(pts, nrm, d_dist, D_ANGLE)
+
+    counts = np.asarray(table.counts)
+    offsets = np.asarray(table.offsets)
+    pair_mr = np.asarray(table.pair_mr)
+    total_ref = sum(len(v) for v in ref_table.values())
+    assert counts.sum() == total_ref
+
+    for key_tuple, pairs in ref_table.items():
+        kd, k1, k2, k3 = key_tuple
+        packed = ((kd * 16 + k1) * 16 + k2) * 16 + k3
+        got_n = counts[packed]
+        # fp boundary differences can move pairs between adjacent bins; the
+        # clouds here are far from boundaries with overwhelming probability,
+        # so require exact agreement (and fail loudly if not).
+        assert got_n == len(pairs), key_tuple
+        got_mr = sorted(pair_mr[offsets[packed]:offsets[packed] + got_n])
+        assert got_mr == sorted(p[0] for p in pairs)
+
+
+def test_accumulator_matches_reference(rng):
+    """Dense accumulator == the MATLAB dense voting_scheme tallies."""
+    m_pts, m_nrm = small_cloud(rng, 10)
+    s_pts, s_nrm = small_cloud(rng, 12)
+    d_dist = 0.5
+    cfg = PPFConfig()
+    desc = drost.build_model_description(m_pts, m_nrm, cfg, d_dist=d_dist)
+    out = drost.match_accumulator_only(desc, s_pts, s_nrm, cfg)
+    acc = np.asarray(out.accumulator)
+
+    ref_acc = ref.voting(m_pts, m_nrm, s_pts, s_nrm, d_dist, D_ANGLE)
+    assert not bool(out.overflowed)
+    assert int(out.num_votes) == ref_acc.sum()
+    np.testing.assert_array_equal(acc[:, :, :31], ref_acc)
+    assert (acc[:, :, 31:] == 0).all()
+
+
+def test_accumulator_with_ref_point_df(rng):
+    """ref_point_df strides the reference rows (kernel.cu:432-435)."""
+    m_pts, m_nrm = small_cloud(rng, 8)
+    s_pts, s_nrm = small_cloud(rng, 15)
+    d_dist = 0.5
+    cfg = PPFConfig(ref_point_df=5)
+    desc = drost.build_model_description(m_pts, m_nrm, cfg, d_dist=d_dist)
+    out = drost.match_accumulator_only(desc, s_pts, s_nrm, cfg)
+    acc = np.asarray(out.accumulator)
+    ref_acc = ref.voting(m_pts, m_nrm, s_pts, s_nrm, d_dist, D_ANGLE, skip=5)
+    assert acc.shape[0] == ref_acc.shape[0] == 3
+    np.testing.assert_array_equal(acc[:, :, :31], ref_acc)
+
+
+def test_vote_overflow_flag(rng):
+    m_pts, m_nrm = small_cloud(rng, 10)
+    # Scene = the model itself -> every model pair matches some scene pair,
+    # guaranteeing plenty of votes.
+    s_pts, s_nrm = m_pts, m_nrm
+    cfg = PPFConfig()
+    desc = drost.build_model_description(m_pts, m_nrm, cfg, d_dist=0.5)
+    full = drost.match_accumulator_only(desc, s_pts, s_nrm, cfg)
+    n_true = int(full.num_votes)
+    assert n_true > 4
+    capped = drost.match_accumulator_only(desc, s_pts, s_nrm, cfg,
+                                          vote_cap=4)
+    assert bool(capped.overflowed)
+    assert int(np.asarray(capped.accumulator).sum()) == 4
+
+
+def test_top_votes_threshold():
+    acc = jnp.zeros((2, 3, 32), jnp.int32)
+    acc = acc.at[1, 2, 5].set(100)
+    acc = acc.at[0, 1, 7].set(50)
+    acc = acc.at[0, 0, 0].set(39)   # below 0.4*100 -> dropped
+    top = voting.top_votes(acc, 0.4, max_poses=8)
+    counts = np.asarray(top.counts)
+    keep = np.asarray(top.keep)
+    assert counts[0] == 100 and keep[0]
+    assert counts[1] == 50 and keep[1]
+    # 39 < 40 -> not kept (strict >, model.cu:167)
+    assert not keep[2]
+    assert np.asarray(top.ref_idx)[0] == 1
+    assert np.asarray(top.model_idx)[0] == 2
+    assert np.asarray(top.alpha_idx)[0] == 5
+
+
+def test_threshold_boundary_is_strict():
+    """count == threshold·max must be dropped (x > min_votecount,
+    model.cu:164-167)."""
+    acc = jnp.zeros((1, 2, 32), jnp.int32)
+    acc = acc.at[0, 0, 0].set(10)
+    acc = acc.at[0, 1, 0].set(4)    # exactly 0.4*10
+    top = voting.top_votes(acc, 0.4, max_poses=4)
+    keep = np.asarray(top.keep)
+    assert keep[0] and not keep[1]
