@@ -1,0 +1,247 @@
+"""Command-line registration app — the `alignment` binary equivalent.
+
+Mirrors the reference CLI's flag surface (configure_options,
+pcl/alignment/src/alignment.cpp:119-172) and flow (main, :191-398):
+load PLYs -> estimate model diameters -> voxel-grid downsample ->
+ppf_registration -> optional ground-truth validation printing a bare 0/1
+match bit per (scene, model) pair on stdout -> optional visualization
+(exported as a colored PLY / PNG instead of a PCLVisualizer window).
+
+Usage:
+  python -m objective_slam_tpu.cli --scene_files s.ply --model_files m.ply \
+      --tau_d 0.1 [--validation_files t.txt] [--logfile run.log] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import sys
+
+import numpy as np
+
+from objective_slam_tpu.config import PPFConfig
+from objective_slam_tpu.pipeline import ppf_registration
+from objective_slam_tpu.utils import ply, pointcloud as pc, validation
+
+log = logging.getLogger("objective_slam_tpu")
+
+
+def csv_list(value: str) -> list[str]:
+    """Comma-separated list (the reference's CommaSeparatedVector,
+    alignment.cpp:92-117)."""
+    return [v for v in value.split(",") if v]
+
+
+def configure_options(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="objective_slam_tpu",
+        description="TPU-native PPF 6-DoF registration")
+    # runstate parameters (alignment.cpp:123-127)
+    p.add_argument("--dev", type=int, default=0,
+                   help="JAX device index to use")
+    p.add_argument("--logfile", type=str, default=None, help="log file")
+    p.add_argument("--loglevel", type=str, default="info",
+                   choices=["trace", "debug", "info", "warning", "error",
+                            "fatal"])
+    # algorithm parameters (alignment.cpp:129-144)
+    p.add_argument("--tau_d", type=csv_list, required=True,
+                   help="per-model voxel grid factors (CSV)")
+    p.add_argument("--scene_leaf_size", type=float, default=10.0)
+    p.add_argument("--ref_point_df", type=int, default=1,
+                   help="scene reference point downsample factor")
+    p.add_argument("--vote_count_threshold", type=float, default=0.4)
+    p.add_argument("--cpu_clustering", type=lambda s: s.lower() == "true",
+                   default=False)
+    p.add_argument("--use_l1_norm", type=lambda s: s.lower() == "true",
+                   default=False)
+    p.add_argument("--use_averaged_clusters",
+                   type=lambda s: s.lower() == "true", default=False)
+    p.add_argument("--validation_translation_threshold", type=float,
+                   default=0.1)
+    p.add_argument("--validation_rotation_threshold", type=float,
+                   default=12.0)
+    # input files (alignment.cpp:146-152)
+    p.add_argument("--scene_files", type=csv_list, required=True)
+    p.add_argument("--model_files", type=csv_list, required=True)
+    p.add_argument("--validation_files", type=csv_list, default=None)
+    # output parameters (alignment.cpp:154-157)
+    p.add_argument("--show_normals", type=lambda s: s.lower() == "true",
+                   default=True)
+    p.add_argument("--visualize", type=lambda s: s.lower() == "true",
+                   default=False)
+    p.add_argument("--visualize_out", type=str, default="alignment_vis",
+                   help="basename for exported visualization files")
+    # rebuild extensions
+    p.add_argument("--estimate_normals_k", type=int, default=0,
+                   help="if >0, (re-)estimate normals with k-NN PCA when "
+                        "a PLY lacks them")
+    p.add_argument("--max_poses", type=int, default=1024)
+    return p.parse_args(argv)
+
+
+_LEVELS = {"trace": logging.DEBUG, "debug": logging.DEBUG,
+           "info": logging.INFO, "warning": logging.WARNING,
+           "error": logging.ERROR, "fatal": logging.CRITICAL}
+
+
+def init_logging(args) -> None:
+    """File sink with timestamps + severity filter (init_logging,
+    alignment.cpp:174-189)."""
+    handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
+    if args.logfile:
+        handlers.append(logging.FileHandler(args.logfile))
+    logging.basicConfig(
+        level=_LEVELS[args.loglevel],
+        format="[%(asctime)s]: %(message)s",
+        handlers=handlers, force=True)
+
+
+def _load_cloud(path, args):
+    cloud = ply.read_ply(path)
+    pts = cloud.points
+    nrm = cloud.normals
+    if nrm is None:
+        if cloud.faces is not None:
+            nrm = pc.mesh_vertex_normals(pts, cloud.faces)
+        elif args.estimate_normals_k > 0:
+            nrm = np.asarray(pc.estimate_normals_knn(
+                pts, k=args.estimate_normals_k, orient="outward"))
+        else:
+            raise SystemExit(
+                f"{path}: no normals; pass --estimate_normals_k or provide "
+                "a mesh")
+    return pts, nrm
+
+
+def main(argv=None) -> int:
+    args = configure_options(argv)
+    init_logging(args)
+    log.info(" ".join(sys.argv if argv is None else ["cli"] + list(argv)))
+
+    scene_clouds = []
+    for f in args.scene_files:
+        log.info("Loading scene point cloud: %s", f)
+        scene_clouds.append(_load_cloud(f, args))
+
+    if len(args.tau_d) != len(args.model_files):
+        log.error("Each model must have an associated tau_d.")
+        return 1
+    tau_d = [float(t) for t in args.tau_d]
+
+    model_clouds = []
+    model_d_dists = []
+    for i, f in enumerate(args.model_files):
+        log.info("Loading model point cloud: %s", f)
+        mp, mn = _load_cloud(f, args)
+        diam = pc.bbox_diameter(mp)   # bbox-edge approx, alignment.cpp:246-253
+        model_d_dists.append(tau_d[i] * diam)
+        log.debug("model_diam, d_dist: %f, %f", diam, model_d_dists[-1])
+        model_clouds.append((mp, mn))
+
+    # Downsample (alignment.cpp:259-288).
+    log.info("Downsampling...")
+    ds_scenes = []
+    for sp, sn in scene_clouds:
+        log.info("Scene size before filtering: %d", len(sp))
+        sp2, sn2 = pc.voxel_downsample_np(sp, sn, args.scene_leaf_size)
+        log.info("Scene size after filtering: %d", len(sp2))
+        ds_scenes.append((sp2, sn2))
+    ds_models = []
+    for (mp, mn), dd in zip(model_clouds, model_d_dists):
+        log.info("Model size before filtering: %d", len(mp))
+        mp2, mn2 = pc.voxel_downsample_np(mp, mn, dd)
+        log.info("Model size after filtering: %d", len(mp2))
+        ds_models.append((mp2, mn2))
+
+    cfg = PPFConfig(
+        ref_point_df=args.ref_point_df,
+        vote_count_threshold=args.vote_count_threshold,
+        use_l1_norm=args.use_l1_norm,
+        use_averaged_clusters=args.use_averaged_clusters,
+        validation_translation_threshold=args.validation_translation_threshold,
+        validation_rotation_threshold_deg=args.validation_rotation_threshold,
+        scene_leaf_size=args.scene_leaf_size,
+        max_poses=args.max_poses)
+
+    out = ppf_registration(ds_scenes, ds_models, model_d_dists, cfg,
+                           cpu_clustering=args.cpu_clustering)
+
+    if args.validation_files:
+        for i in range(len(ds_scenes)):
+            for j in range(len(ds_models)):
+                truth = validation.read_truth_file(
+                    args.validation_files[i * len(ds_models) + j])
+                log.info("Transformations for %s in %s:",
+                         args.model_files[j], args.scene_files[i])
+                log.info("Estimated transformation:\n%s", out.poses[i][j])
+                log.info("Ground truth:\n%s", truth)
+                model_diam = model_d_dists[j] / tau_d[j]
+                v = validation.validate_pose(out.poses[i][j], truth,
+                                             model_diam, cfg)
+                log.info("Distance (trans, rot): %f, %f", v.trans_err,
+                         v.rot_err)
+                log.info("Threshold (validation_translation_threshold"
+                         "*model_diam , 12 deg): %f, %f",
+                         v.trans_thresh, v.rot_thresh)
+                log.info("Match (trans, rot): %d, %d", v.trans_match,
+                         v.rot_match)
+                # The machine-readable match bit (alignment.cpp:332).
+                print(int(v.match))
+
+    if args.visualize:
+        _export_visualization(args, ds_scenes, ds_models, out.poses)
+    return 0
+
+
+def _export_visualization(args, scenes, models, poses) -> None:
+    """No-window visualization: write a combined colored PLY (and a PNG if
+    matplotlib is available) — replaces the PCLVisualizer loop
+    (alignment.cpp:337-396)."""
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+              (0, 255, 255), (255, 0, 255), (255, 255, 0)]
+    all_pts, all_cols = [], []
+    for sp, _ in scenes:
+        all_pts.append(sp)
+        all_cols.append(np.full((len(sp), 3), 255, np.uint8))
+    for i in range(len(scenes)):
+        for j, (mp, mn) in enumerate(models):
+            T = poses[i][j]
+            moved = mp @ T[:3, :3].T + T[:3, 3]
+            all_pts.append(moved.astype(np.float32))
+            c = colors[(i * len(models) + j) % len(colors)]
+            all_cols.append(np.tile(np.asarray(c, np.uint8), (len(mp), 1)))
+    pts = np.concatenate(all_pts)
+    cols = np.concatenate(all_cols)
+    out_ply = args.visualize_out + ".ply"
+    with open(out_ply, "wb") as f:
+        header = ("ply\nformat binary_little_endian 1.0\n"
+                  f"element vertex {len(pts)}\n"
+                  "property float x\nproperty float y\nproperty float z\n"
+                  "property uchar red\nproperty uchar green\n"
+                  "property uchar blue\nend_header\n")
+        f.write(header.encode())
+        rec = np.empty(len(pts), dtype=[("p", "<f4", (3,)),
+                                        ("c", "u1", (3,))])
+        rec["p"] = pts
+        rec["c"] = cols
+        f.write(rec.tobytes())
+    log.info("visualization written: %s", out_ply)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig = plt.figure(figsize=(8, 8))
+        ax = fig.add_subplot(projection="3d")
+        step = max(1, len(pts) // 20000)
+        ax.scatter(pts[::step, 0], pts[::step, 1], pts[::step, 2],
+                   c=cols[::step] / 255.0, s=1)
+        fig.savefig(args.visualize_out + ".png", dpi=120)
+        log.info("visualization written: %s.png", args.visualize_out)
+    except Exception as e:  # matplotlib optional
+        log.debug("png export skipped: %s", e)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""CLI integration test: PLY files on disk -> 0/1 match bit on stdout."""
+
+import io
+import math
+import sys
+
+import numpy as np
+import pytest
+
+from objective_slam_tpu import cli
+from objective_slam_tpu.utils import ply, synthetic, validation
+
+
+@pytest.fixture
+def scene_fixture(tmp_path, rng):
+    mp, mn = synthetic.blob_cloud(rng, 90)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    model_path = tmp_path / "model.ply"
+    scene_path = tmp_path / "scene.ply"
+    truth_path = tmp_path / "truth.txt"
+    ply.write_ply(model_path, mp, mn)
+    ply.write_ply(scene_path, sp, sn)
+    validation.write_truth_file(truth_path, T_true)
+    return model_path, scene_path, truth_path
+
+
+def _run(argv, capsys):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_cli_end_to_end_match_bit(scene_fixture, tmp_path, capsys):
+    model, scene, truth = scene_fixture
+    rc, out = _run([
+        "--scene_files", str(scene), "--model_files", str(model),
+        "--tau_d", "0.1",
+        # blob clouds live in ~unit scale; default leaf 10.0 would collapse
+        # them to one voxel
+        "--scene_leaf_size", "0.05",
+        "--validation_files", str(truth),
+        "--logfile", str(tmp_path / "run.log"),
+    ], capsys)
+    assert rc == 0
+    assert out.strip() == "1"
+    log_text = (tmp_path / "run.log").read_text()
+    assert "Found transformation" in log_text
+    assert "Match (trans, rot)" in log_text
+
+
+def test_cli_cpu_clustering(scene_fixture, tmp_path, capsys):
+    model, scene, truth = scene_fixture
+    rc, out = _run([
+        "--scene_files", str(scene), "--model_files", str(model),
+        "--tau_d", "0.1", "--scene_leaf_size", "0.05",
+        "--cpu_clustering", "true",
+        "--validation_files", str(truth),
+    ], capsys)
+    assert rc == 0
+    assert out.strip() == "1"
+
+
+def test_cli_tau_d_count_mismatch(scene_fixture, capsys):
+    model, scene, _ = scene_fixture
+    rc, _ = _run([
+        "--scene_files", str(scene),
+        "--model_files", f"{model},{model}",
+        "--tau_d", "0.1",
+        "--scene_leaf_size", "0.05",
+    ], capsys)
+    assert rc == 1
+
+
+def test_cli_visualize_export(scene_fixture, tmp_path, capsys):
+    model, scene, _ = scene_fixture
+    vis = tmp_path / "vis"
+    rc, _ = _run([
+        "--scene_files", str(scene), "--model_files", str(model),
+        "--tau_d", "0.1", "--scene_leaf_size", "0.05",
+        "--visualize", "true", "--visualize_out", str(vis),
+    ], capsys)
+    assert rc == 0
+    out_ply = ply.read_ply(str(vis) + ".ply")
+    assert out_ply.points.shape[0] > 0
+    assert {"red", "green", "blue"} <= set(out_ply.extra)
+
+
+def test_cli_missing_normals_estimation(tmp_path, rng, capsys):
+    mp, mn = synthetic.blob_cloud(rng, 90)
+    sp, _, T_true = synthetic.plant_model(rng, mp, mn)
+    model_path = tmp_path / "m.ply"
+    scene_path = tmp_path / "s.ply"
+    truth = tmp_path / "t.txt"
+    # Write both WITHOUT normals; CLI must k-NN-estimate consistently.
+    ply.write_ply(model_path, mp, None)
+    ply.write_ply(scene_path, sp, None)
+    validation.write_truth_file(truth, T_true)
+    rc, out = _run([
+        "--scene_files", str(scene_path), "--model_files", str(model_path),
+        "--tau_d", "0.1", "--scene_leaf_size", "0.05",
+        "--estimate_normals_k", "12",
+        "--validation_files", str(truth),
+    ], capsys)
+    assert rc == 0
+    assert out.strip() == "1"
+
+
+def test_cli_requires_normals_without_flag(tmp_path, rng, capsys):
+    mp, _ = synthetic.blob_cloud(rng, 30)
+    path = tmp_path / "m.ply"
+    ply.write_ply(path, mp, None)
+    with pytest.raises(SystemExit):
+        cli.main(["--scene_files", str(path), "--model_files", str(path),
+                  "--tau_d", "0.1"])
