@@ -4,92 +4,141 @@ Prints ONE JSON line:
   {"metric": ..., "value": <votes/sec/chip>, "unit": "votes/s",
    "vs_baseline": <value / 1e9>, "extra": {...}}
 
-Scenario (BASELINE.md): a 100k-point raw scene containing a planted model
-instance plus clutter; the timed pipeline is voxel-grid downsample (on
-device) -> pairwise PPF keys/α -> Hough voting -> pose extraction +
-clustering. Baseline targets: ≥1e9 votes/sec/chip and <30 ms end-to-end
-pose on TPU v5e-1.
+Scenario (BASELINE.md): a 100k-point raw scan of a tabletop-like scene —
+one planted model instance among surface clutter — on TPU v5e-1. The timed
+pipeline is fully on device: voxel-grid downsample -> pairwise PPF keys/α ->
+Hough voting -> top-K -> pose reconstruction -> clustering -> winner.
+Baseline targets: ≥1e9 votes/sec/chip and <30 ms end-to-end pose.
 """
 
 import json
 import math
+import os
+import sys
 import time
 
 import numpy as np
 
+VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
+_T0 = time.time()
+
+
+def _log(msg):
+    if VERBOSE:
+        print(f"[bench {time.time()-_T0:6.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/objective_slam_tpu_xla_cache")
+
+
+def build_scene(rng, n_total=100_000, n_model_raw=20_000):
+    """One model blob among planar clutter patches — a tabletop-like scan.
+
+    Clutter must be surface-like (scans are surfaces) and geometrically
+    DISSIMILAR to the model: clutter made of blobs shares the model's local
+    curvature statistics and explodes the vote count ~10x beyond anything a
+    real scene produces."""
+    from objective_slam_tpu.utils import synthetic
+
+    mp_raw, mn_raw = synthetic.blob_cloud(rng, n_model_raw)
+    n_clutter = n_total - n_model_raw
+    per = n_clutter // 8
+    cps, cns = [], []
+    for b in range(8):
+        cnt = per if b < 7 else n_clutter - 7 * per
+        # random planar patch with a little roughness
+        u = rng.uniform(-1.5, 1.5, size=(cnt, 2))
+        z = rng.normal(scale=0.01, size=(cnt, 1))
+        pts = np.concatenate([u, z], axis=1)
+        q = synthetic.random_rotation_quat(rng)
+        R = synthetic.quat_to_matrix(q)
+        offset = rng.uniform(-3.0, 5.0, size=3)
+        cps.append(pts @ R.T + offset)
+        nrm = np.tile(R[:, 2], (cnt, 1)) + rng.normal(scale=0.02,
+                                                      size=(cnt, 3))
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        cns.append(nrm)
+    cp = np.concatenate(cps).astype(np.float32)
+    cn = np.concatenate(cns).astype(np.float32)
+    scene, scene_n, T_true = synthetic.plant_model(rng, mp_raw, mn_raw,
+                                                   cp, cn)
+    return mp_raw, mn_raw, scene, scene_n, T_true
+
 
 def main():
     import jax
+    import jax.numpy as jnp
     import objective_slam_tpu as ost
     from objective_slam_tpu.config import PPFConfig
-    from objective_slam_tpu.models import drost
+    from objective_slam_tpu.models.drost import _match_core
+    from objective_slam_tpu.ops import ppf as ppf_ops, voting
     from objective_slam_tpu.utils import pointcloud as pc, synthetic, validation
 
     rng = np.random.default_rng(0)
-
-    # --- build the 100k-point scene -------------------------------------
-    n_model_raw = 20_000
-    mp_raw, mn_raw = synthetic.blob_cloud(rng, n_model_raw)
-    cp, cn = synthetic.clutter_cloud(rng, 80_000, lo=-4.0, hi=6.0)
-    scene_raw, scene_nrm_raw, T_true = synthetic.plant_model(
-        rng, mp_raw, mn_raw, cp, cn)
+    mp_raw, mn_raw, scene_raw, scene_nrm_raw, T_true = build_scene(rng)
     assert scene_raw.shape[0] == 100_000
 
     cfg = PPFConfig(max_poses=1024, ref_point_df=5)
-    # Model: voxel-downsampled to d_dist resolution (reference protocol,
-    # alignment.cpp:277-288).
     d_dist = cfg.tau_d * pc.bbox_diameter(mp_raw)
     mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
     desc = ost.build_model_description(mp, mn, cfg, d_dist=d_dist)
 
-    # Scene leaf: targets a few thousand scene points.
-    scene_leaf = 0.12
+    # Scene leaf sized to land under the static voxel capacity.
+    scene_leaf = 0.16
     vox_capacity = 8192
+    nv = int(pc.voxel_downsample(scene_raw, scene_nrm_raw, scene_leaf,
+                                 capacity=100_000).num_voxels)
+    assert nv <= vox_capacity, (nv, vox_capacity)
 
-    import jax.numpy as jnp
-    from objective_slam_tpu.models.drost import _match_core
+    ref_idx = jnp.arange(0, vox_capacity, cfg.ref_point_df, dtype=jnp.int32)
 
-    vote_cap = None
-
-    def pipeline(raw_p, raw_n, cap):
+    def stage_keys(raw_p, raw_n):
         vox = pc.voxel_downsample(raw_p, raw_n, scene_leaf,
                                   capacity=vox_capacity)
-        res = _match_core(desc, vox.points, vox.normals,
-                          ref_point_df=cfg.ref_point_df, vote_cap=cap,
-                          config=cfg)
-        return res
-
-    # Size the vote buffer once (static thereafter).
-    probe = jax.jit(lambda p, n: pipeline(p, n, 1 << 20))(
-        scene_raw, scene_nrm_raw)
-    total = int(probe.num_votes)
-    cap = 1 << max(16, int(math.ceil(math.log2(max(total, 1) * 1.1))))
-
-    run = jax.jit(lambda p, n: pipeline(p, n, cap))
-    # Voting-only stage for the votes/sec metric.
-    def voting_stage(raw_p, raw_n):
-        vox = pc.voxel_downsample(raw_p, raw_n, scene_leaf,
-                                  capacity=vox_capacity)
-        from objective_slam_tpu.ops import ppf as ppf_ops, voting
-        ref_idx = jnp.arange(0, vox_capacity, cfg.ref_point_df,
-                             dtype=jnp.int32)
         keys, alpha = ppf_ops.pairwise_ppf_keys(
             vox.points, vox.normals, desc.d_dist, cfg.d_angle,
             desc.max_dist_bin, ref_indices=ref_idx)
+        return vox, keys, alpha
+
+    count_fn = jax.jit(lambda p, n: jnp.sum(jnp.where(
+        stage_keys(p, n)[1].reshape(-1) != ppf_ops.INVALID_KEY,
+        desc.table.counts[jnp.clip(stage_keys(p, n)[1].reshape(-1), 0,
+                                   desc.num_keys - 1)], 0)))
+
+    sp_dev = jax.device_put(scene_raw)
+    sn_dev = jax.device_put(scene_nrm_raw)
+    _log(f"scene on device; {nv} voxels at leaf {scene_leaf}")
+    total = int(count_fn(sp_dev, sn_dev))
+    cap = 1 << max(16, int(math.ceil(math.log2(max(total, 1) * 1.2))))
+    _log(f"true votes {total}; cap {cap}")
+
+    def pipeline(raw_p, raw_n):
+        vox = pc.voxel_downsample(raw_p, raw_n, scene_leaf,
+                                  capacity=vox_capacity)
+        return _match_core(desc, vox.points, vox.normals,
+                           ref_point_df=cfg.ref_point_df, vote_cap=cap,
+                           config=cfg)
+
+    def voting_stage(raw_p, raw_n):
+        vox, keys, alpha = stage_keys(raw_p, raw_n)
         return voting.cast_votes(keys, alpha, desc.table, desc.n_points,
                                  cfg.d_angle, cap)
 
+    run = jax.jit(pipeline)
     vrun = jax.jit(voting_stage)
 
     # --- warmup + timing -------------------------------------------------
-    sp_dev = jax.device_put(scene_raw)
-    sn_dev = jax.device_put(scene_nrm_raw)
-    res = run(sp_dev, sn_dev)
-    jax.block_until_ready(res.pose)
+    _log("compiling voting stage...")
     vres = vrun(sp_dev, sn_dev)
     jax.block_until_ready(vres.accumulator)
+    _log("voting stage compiled")
+    _log("compiling full pipeline...")
+    res = run(sp_dev, sn_dev)
+    jax.block_until_ready(res.pose)
+    _log("full pipeline compiled")
 
-    reps = 5
+    reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         res = run(sp_dev, sn_dev)
@@ -116,9 +165,11 @@ def main():
             "e2e_pose_ms_100k_scene": e2e_ms,
             "e2e_target_ms": 30.0,
             "num_votes": n_votes,
+            "vote_cap": cap,
             "voting_stage_ms": vote_s * 1e3,
             "model_points": int(desc.n_points),
-            "scene_voxels_capacity": vox_capacity,
+            "scene_voxels": nv,
+            "scene_voxel_capacity": vox_capacity,
             "pose_match": bool(v.match),
             "trans_err": v.trans_err,
             "rot_err_deg": math.degrees(v.rot_err),

@@ -64,6 +64,16 @@ class ModelDescription:
     diameter: float
 
 
+@functools.partial(jax.jit, static_argnames=("d_angle", "max_dist_bin",
+                                             "num_keys"))
+def _build_device(pts, nrm, d_dist, d_angle, max_dist_bin, num_keys):
+    keys, alpha = ppf_ops.pairwise_ppf_keys(
+        pts, nrm, d_dist, d_angle, max_dist_bin)
+    table = voting.build_key_table(keys, alpha, num_keys)
+    beta, gamma = tr.canonical_angles(pts, nrm)
+    return table, beta, gamma
+
+
 def build_model_description(points, normals, config: PPFConfig = PPFConfig(),
                             d_dist: float | None = None,
                             vote_weights=None) -> ModelDescription:
@@ -71,7 +81,7 @@ def build_model_description(points, normals, config: PPFConfig = PPFConfig(),
 
     d_dist defaults to tau_d · (max bbox edge) — the CLI convention
     (alignment.cpp:246-253). The key-space size is bounded by the bbox
-    diagonal, keeping shapes static."""
+    diagonal, keeping shapes static. The device part is one jitted call."""
     pts = np.asarray(points, np.float32)
     nrm = np.asarray(normals, np.float32)
     n = pts.shape[0]
@@ -84,10 +94,9 @@ def build_model_description(points, normals, config: PPFConfig = PPFConfig(),
     max_dist_bin = int(np.linalg.norm(bbox) / d_dist) + 1
     num_keys = ppf_ops.num_keys(max_dist_bin)
 
-    keys, alpha = ppf_ops.pairwise_ppf_keys(
-        pts, nrm, d_dist, config.d_angle, max_dist_bin)
-    table = voting.build_key_table(keys, alpha, num_keys)
-    beta, gamma = tr.canonical_angles(jnp.asarray(pts), jnp.asarray(nrm))
+    table, beta, gamma = _build_device(
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.float32(d_dist),
+        config.d_angle, max_dist_bin, num_keys)
     if vote_weights is None:
         vote_weights = jnp.ones((n,), jnp.float32)
     return ModelDescription(
