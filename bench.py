@@ -84,9 +84,10 @@ def main():
     mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
     desc = ost.build_model_description(mp, mn, cfg, d_dist=d_dist)
 
-    # Scene leaf sized to land under the static voxel capacity.
-    scene_leaf = 0.16
-    vox_capacity = 8192
+    # Reference protocol: scene leaf comparable to the model's d_dist
+    # (alignment.cpp uses scene_leaf_size 10 vs chef d_dist 13.6).
+    scene_leaf = d_dist
+    vox_capacity = 4096
     nv = int(pc.voxel_downsample(scene_raw, scene_nrm_raw, scene_leaf,
                                  capacity=100_000).num_voxels)
     assert nv <= vox_capacity, (nv, vox_capacity)

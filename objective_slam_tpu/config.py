@@ -46,8 +46,13 @@ class PPFConfig:
         this fraction of the model diameter (alignment.cpp:141-142).
       validation_rotation_threshold_deg: match iff rotation error (rad) below
         this many degrees (alignment.cpp:143-144, default 12°).
+      engine: voting engine. "fast" = gather-free sublane-tga + MXU tally
+        (ops/voting_fast.py, the TPU-native hot path); "reference" = the
+        simple expansion engine (ops/voting.py, readable twin used for
+        golden-testing). Identical tallies.
     """
 
+    engine: str = "fast"
     n_angle: int = 30
     tau_d: float = 0.1
     ref_point_df: int = 1

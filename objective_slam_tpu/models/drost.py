@@ -33,13 +33,13 @@ import numpy as np
 
 from objective_slam_tpu.config import PPFConfig
 from objective_slam_tpu.ops import clustering, ppf as ppf_ops, transforms as tr
-from objective_slam_tpu.ops import voting
+from objective_slam_tpu.ops import voting, voting_fast
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["points", "normals", "beta", "gamma", "vote_weights",
-                 "table", "d_dist"],
+                 "table", "d_dist", "fast_tables"],
     meta_fields=["n_points", "num_keys", "max_dist_bin", "diameter"])
 @dataclasses.dataclass(frozen=True)
 class ModelDescription:
@@ -57,6 +57,7 @@ class ModelDescription:
     vote_weights: jax.Array  # (n_m,) per-point vote weights (model.cu:67,91-93)
     table: voting.KeyTable
     d_dist: jax.Array        # () float32
+    fast_tables: object      # voting_fast.FastModelTables | None
     # --- static metadata (python ints; stable across traces) ---
     n_points: int
     num_keys: int
@@ -99,11 +100,14 @@ def build_model_description(points, normals, config: PPFConfig = PPFConfig(),
         config.d_angle, max_dist_bin, num_keys)
     if vote_weights is None:
         vote_weights = jnp.ones((n,), jnp.float32)
+    fast_tables = (voting_fast.build_fast_tables(table)
+                   if config.engine == "fast" else None)
     return ModelDescription(
         points=jnp.asarray(pts), normals=jnp.asarray(nrm),
         beta=beta, gamma=gamma,
         vote_weights=jnp.asarray(vote_weights, jnp.float32),
         table=table, d_dist=jnp.float32(d_dist),
+        fast_tables=fast_tables,
         n_points=n, num_keys=num_keys, max_dist_bin=max_dist_bin,
         diameter=diameter)
 
@@ -137,16 +141,22 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
         scene_points, scene_normals, model.d_dist, config.d_angle,
         model.max_dist_bin, ref_indices=ref_idx)
 
+    s_ref_pts = scene_points[ref_idx]
+    s_ref_nrm = scene_normals[ref_idx]
+    s_beta, s_gamma = tr.canonical_angles(s_ref_pts, s_ref_nrm)
+
     # Voting (ComputeUniqueVotes, model.cu:95-171).
-    votes = voting.cast_votes(keys, alpha_s, model.table, model.n_points,
-                              config.d_angle, vote_cap)
+    if config.engine == "fast" and model.fast_tables is not None:
+        votes = voting_fast.cast_votes_fast(
+            scene_points, scene_normals, ref_idx, s_beta, s_gamma, keys,
+            model.fast_tables, model.n_points, config.d_angle, vote_cap)
+    else:
+        votes = voting.cast_votes(keys, alpha_s, model.table,
+                                  model.n_points, config.d_angle, vote_cap)
     top = voting.top_votes(votes.accumulator, config.vote_count_threshold,
                            config.max_poses)
 
     # Pose reconstruction (trans_calc_kernel2, kernel.cu:605-645), batched.
-    s_ref_pts = scene_points[ref_idx]
-    s_ref_nrm = scene_normals[ref_idx]
-    s_beta, s_gamma = tr.canonical_angles(s_ref_pts, s_ref_nrm)
     poses = tr.pose_from_vote(
         top.alpha_idx,
         model.points[top.model_idx], model.beta[top.model_idx],
@@ -222,6 +232,12 @@ def match(model: ModelDescription, scene_points, scene_normals,
     if vote_cap is None:
         total = int(_count_votes_jit(model, scene_points, scene_normals,
                                      config.ref_point_df, config.d_angle))
+        if config.engine == "fast":
+            # Row-aligned padding in the fast tally consumes up to one
+            # chunk per reference row.
+            n_s = int(np.asarray(scene_points).shape[0])
+            n_ref = (n_s + config.ref_point_df - 1) // config.ref_point_df
+            total += voting_fast.TALLY_CHUNK * n_ref
         vote_cap = _next_pow2(total)
     return _match_jit(model, scene_points, scene_normals,
                       config.ref_point_df, int(vote_cap), config)

@@ -178,9 +178,14 @@ def pairwise_ppf_keys(points, normals, d_dist, d_angle, max_dist_bin,
     self_pair = ref_indices[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
     keys = jnp.where(valid & ~self_pair, key, INVALID_KEY)
 
-    # α of each pair about the reference point's canonical frame.
+    # α of each pair about the reference point's canonical frame. Written
+    # as explicit row products (not einsum) so the fast voting engine's
+    # per-vote recompute (ops/voting_fast.py) is bit-identical.
     beta, gamma = tr.canonical_angles(ref_pts, ref_nrm)
-    R = tr.canonical_rotation(beta, gamma)                # (r, 3, 3)
-    u = jnp.einsum("rij,rnj->rni", R, d, precision=_HI)                  # (r, n, 3)
-    alpha = jnp.arctan2(u[..., 2], u[..., 1])             # (r, n)
+    cb, sb = jnp.cos(beta), jnp.sin(beta)
+    cg, sg = jnp.cos(gamma), jnp.sin(gamma)
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    u_y = (sg * cb)[:, None] * dx + cg[:, None] * dy + (sg * sb)[:, None] * dz
+    u_z = (-sb)[:, None] * dx + cb[:, None] * dz
+    alpha = jnp.arctan2(u_z, u_y)                         # (r, n)
     return keys, alpha

@@ -124,3 +124,51 @@ def test_threshold_boundary_is_strict():
     top = voting.top_votes(acc, 0.4, max_poses=4)
     keep = np.asarray(top.keep)
     assert keep[0] and not keep[1]
+
+
+def test_fast_engine_matches_reference_engine(rng):
+    """ops/voting_fast must produce the exact same dense accumulator as the
+    simple expansion engine, including ref_point_df striding and row
+    padding edge cases."""
+    import jax.numpy as jnp
+    from objective_slam_tpu.ops import transforms as tr
+    from objective_slam_tpu.ops import voting_fast
+
+    for n_m, n_s, df in [(10, 12, 1), (9, 25, 3), (16, 16, 1)]:
+        m_pts, m_nrm = small_cloud(rng, n_m)
+        s_pts, s_nrm = small_cloud(rng, n_s)
+        cfg = PPFConfig(ref_point_df=df)
+        desc = drost.build_model_description(m_pts, m_nrm, cfg, d_dist=0.5)
+        ref_out = drost.match_accumulator_only(desc, s_pts, s_nrm, cfg)
+
+        ref_idx = jnp.arange(0, n_s, df, dtype=jnp.int32)
+        keys, _ = ppf_ops.pairwise_ppf_keys(
+            s_pts, s_nrm, desc.d_dist, cfg.d_angle, desc.max_dist_bin,
+            ref_indices=ref_idx)
+        s_beta, s_gamma = tr.canonical_angles(s_pts[np.asarray(ref_idx)],
+                                              s_nrm[np.asarray(ref_idx)])
+        n_ref = len(np.asarray(ref_idx))
+        for mxu in (True, False):
+            fast = voting_fast.cast_votes_fast(
+                jnp.asarray(s_pts), jnp.asarray(s_nrm), ref_idx, s_beta,
+                s_gamma, keys, desc.fast_tables, desc.n_points, cfg.d_angle,
+                vote_cap=int(ref_out.num_votes) +
+                voting_fast.TALLY_CHUNK * n_ref,
+                use_mxu_tally=mxu)
+            assert int(fast.num_votes) == int(ref_out.num_votes), (n_m, mxu)
+            assert not bool(fast.overflowed)
+            got = np.asarray(fast.accumulator)
+            want = np.asarray(ref_out.accumulator)
+            # The fast engine recomputes α_s per vote; compiler fma/
+            # reassociation can shift votes sitting exactly on an α-bin
+            # boundary by one bin (same fp32-tolerance class as the
+            # reference's own MATLAB-vs-CUDA comparisons). Totals match
+            # exactly; allow a tiny fraction of ±1 adjacent-bin moves.
+            assert got.sum() == want.sum()
+            diff = got.astype(np.int64) - want
+            assert np.abs(diff).max() <= 1, (n_m, mxu)
+            frac = np.abs(diff).sum() / max(want.sum(), 1)
+            assert frac < 0.005, (n_m, mxu, frac)
+            # Moves must stay within a (ref, model) row (only the α bin
+            # may shift).
+            assert (diff.sum(axis=2) == 0).all(), (n_m, mxu)
