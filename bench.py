@@ -72,7 +72,8 @@ def main():
     import objective_slam_tpu as ost
     from objective_slam_tpu.config import PPFConfig
     from objective_slam_tpu.models.drost import _match_core
-    from objective_slam_tpu.ops import ppf as ppf_ops, voting
+    from objective_slam_tpu.ops import ppf as ppf_ops, transforms as tr
+    from objective_slam_tpu.ops import voting_fast
     from objective_slam_tpu.utils import pointcloud as pc, synthetic, validation
 
     rng = np.random.default_rng(0)
@@ -111,7 +112,10 @@ def main():
     sn_dev = jax.device_put(scene_nrm_raw)
     _log(f"scene on device; {nv} voxels at leaf {scene_leaf}")
     total = int(count_fn(sp_dev, sn_dev))
-    cap = 1 << max(16, int(math.ceil(math.log2(max(total, 1) * 1.2))))
+    n_ref = (vox_capacity + cfg.ref_point_df - 1) // cfg.ref_point_df
+    padded = total + voting_fast.TALLY_CHUNK * n_ref
+    cap = ((int(padded * 1.02) + voting_fast.TALLY_CHUNK - 1)
+           // voting_fast.TALLY_CHUNK) * voting_fast.TALLY_CHUNK
     _log(f"true votes {total}; cap {cap}")
 
     def pipeline(raw_p, raw_n):
@@ -123,8 +127,8 @@ def main():
 
     def voting_stage(raw_p, raw_n):
         vox, keys, alpha = stage_keys(raw_p, raw_n)
-        return voting.cast_votes(keys, alpha, desc.table, desc.n_points,
-                                 cfg.d_angle, cap)
+        return voting_fast.cast_votes_fast(
+            keys, alpha, desc.fast_tables, desc.n_points, cfg.d_angle, cap)
 
     run = jax.jit(pipeline)
     vrun = jax.jit(voting_stage)

@@ -78,6 +78,12 @@ def configure_options(argv=None) -> argparse.Namespace:
                    help="if >0, (re-)estimate normals with k-NN PCA when "
                         "a PLY lacks them")
     p.add_argument("--max_poses", type=int, default=1024)
+    p.add_argument("--engine", type=str, default="fast",
+                   choices=["fast", "reference"],
+                   help="voting engine (see PPFConfig.engine)")
+    p.add_argument("--icp_iterations", type=int, default=0,
+                   help="if >0, refine each pose with this many ICP "
+                        "iterations (extension; not in the reference)")
     return p.parse_args(argv)
 
 
@@ -163,10 +169,24 @@ def main(argv=None) -> int:
         validation_translation_threshold=args.validation_translation_threshold,
         validation_rotation_threshold_deg=args.validation_rotation_threshold,
         scene_leaf_size=args.scene_leaf_size,
-        max_poses=args.max_poses)
+        max_poses=args.max_poses,
+        engine=args.engine)
 
     out = ppf_registration(ds_scenes, ds_models, model_d_dists, cfg,
                            cpu_clustering=args.cpu_clustering)
+
+    if args.icp_iterations > 0:
+        from objective_slam_tpu.ops import icp
+        import numpy as _np
+        for i, (sp, sn) in enumerate(ds_scenes):
+            for j, (mp2, mn2) in enumerate(ds_models):
+                refined = icp.refine_pose(
+                    mp2, sp, out.poses[i][j],
+                    iterations=args.icp_iterations,
+                    max_dist=2.0 * model_d_dists[j])
+                out.poses[i][j] = _np.asarray(refined.pose)
+                log.info("ICP scene %d model %d: rms=%.5f inliers=%d",
+                         i, j, float(refined.rms), int(refined.inliers))
 
     if args.validation_files:
         for i in range(len(ds_scenes)):

@@ -148,8 +148,8 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
     # Voting (ComputeUniqueVotes, model.cu:95-171).
     if config.engine == "fast" and model.fast_tables is not None:
         votes = voting_fast.cast_votes_fast(
-            scene_points, scene_normals, ref_idx, s_beta, s_gamma, keys,
-            model.fast_tables, model.n_points, config.d_angle, vote_cap)
+            keys, alpha_s, model.fast_tables, model.n_points,
+            config.d_angle, vote_cap)
     else:
         votes = voting.cast_votes(keys, alpha_s, model.table,
                                   model.n_points, config.d_angle, vote_cap)
@@ -216,8 +216,19 @@ def _count_votes_jit(model, scene_points, scene_normals, ref_point_df,
                    else jnp.int32)
 
 
-def _next_pow2(x: int) -> int:
-    return 1 << max(10, (int(x) - 1).bit_length())
+def _next_cap(x: int) -> int:
+    """Round a vote capacity up to the next {1, 1.25, 1.5, 1.75}x2^k bucket
+    (max 25% slack). Every fill/lookup/tally stage scales with the cap, so
+    plain pow2 rounding would cost up to 2x runtime; quarter-steps keep
+    recompiles bounded while capping waste."""
+    x = max(int(x), 1024)
+    k = (x - 1).bit_length() - 1
+    base = 1 << k
+    for mult in (1.25, 1.5, 1.75, 2.0):
+        cap = int(base * mult)
+        if cap >= x:
+            return cap
+    return base * 2
 
 
 def match(model: ModelDescription, scene_points, scene_normals,
@@ -238,7 +249,7 @@ def match(model: ModelDescription, scene_points, scene_normals,
             n_s = int(np.asarray(scene_points).shape[0])
             n_ref = (n_s + config.ref_point_df - 1) // config.ref_point_df
             total += voting_fast.TALLY_CHUNK * n_ref
-        vote_cap = _next_pow2(total)
+        vote_cap = _next_cap(total)
     return _match_jit(model, scene_points, scene_normals,
                       config.ref_point_df, int(vote_cap), config)
 
@@ -252,7 +263,7 @@ def match_accumulator_only(model: ModelDescription, scene_points,
     scene_normals = jnp.asarray(scene_normals, jnp.float32)
     n_s = scene_points.shape[0]
     if vote_cap is None:
-        vote_cap = _next_pow2(int(_count_votes_jit(
+        vote_cap = _next_cap(int(_count_votes_jit(
             model, scene_points, scene_normals, config.ref_point_df,
             config.d_angle)))
     ref_idx = jnp.arange(0, n_s, config.ref_point_df, dtype=jnp.int32)

@@ -1,45 +1,45 @@
-"""TPU-fast voting engine: gather-free expansion + MXU tally.
+"""TPU-fast voting engine: lookup-minimal expansion + MXU tally.
 
-Why this exists: XLA's general 1D gather/scatter on TPU runs at ~110M
-random accesses/s (measured; lowered element-wise), which caps the
-expansion-based engine in ops/voting.py at a few Mvotes/s. The two TPU
-primitives that ARE fast are
-  * sublane `take_along_axis` (out[i,j] = table[idx[i,j], j]) on tables that
-    fit on-chip — ~400G lookups/s measured, and
-  * dense matmuls on the MXU (a one-hot histogram runs at ~8G votes/s).
+Measured reality on TPU v5e (tools/ablate_fast.py): EVERY indexed memory
+access — XLA 1D gather, scatter, or sublane take_along_axis, any table
+size — costs ~10-16 ns per element (Mosaic lowers them element-/row-
+serially). Dense ops, cumsum/cummax, and MXU matmuls run at full speed.
+The voting join is therefore engineered down to ONE indexed lookup per
+vote, everything else dense:
 
-This engine re-expresses the reference's vote generation
-(ppf_vote_count_kernel / scan / ppf_vote_kernel, model.cu:95-146,
-kernel.cu:480-554) using only those primitives plus cumsum/cummax:
-
-  1. model-table lookups use **rotation-packed tables**: a table of K
-     entries becomes (ROT·K/128, 128) where block ρ holds the table
-     rotated by ρ lanes; a query with key k in lane l needs rotation
-     (k−l) mod 128 and is answered in one of 128/ROT masked tga passes.
-  2. per-vote segment values (pair-array base offset, bucket size) are
-     transported from scene pairs to their votes with a **cumsum-of-diffs
-     fill**: scatter +x at the segment head and −x one past its end, then
-     cumsum — exact for integers, no gather.
-  3. the owning scene pair (sp) and segment start are filled with
-     scatter-max + lax.cummax (both monotonic).
-  4. α_s is **recomputed per vote** from scene geometry fetched through
-     fully lane-replicated small tables (n ≤ a few thousand scene points),
-     with bit-identical math to the pair stage. The reference's
-     ppf_vote_kernel likewise recomputes per vote (kernel.cu:536-547).
+  1. scene-pair stage: ONE rotation-packed sublane-tga per pair fetches the
+     bucket (offset, count), packed into one uint32 (offset<<CNT_BITS|count);
+  2. per-vote segment values are transported by **cumsum-of-diffs fills**
+     (scatter +x at segment head, −x past its end, then cumsum) — all
+     integer and exact: α_s rides as 22-bit fixed point (quantization
+     7.5e-7 rad, below fp32 ulp at π);
+  3. the owning row r and segment start are filled with scatter-max +
+     lax.cummax (both monotonic over the vote stream);
+  4. the per-vote lookup reads the pair table ONCE: (model point index,
+     α_m) packed into one uint32 (10 bits m, 22-bit fixed-point α_m); the
+     α bin is then pure integer math:
+     bin = (((α_s_fix − α_m_fix + 2²¹) mod 2²²) · n_angle) >> 22;
   5. the tally pads each reference row's votes to a chunk multiple so every
      chunk belongs to one row, then accumulates each chunk with a one-hot
-     (C×n_m)ᵀ(C×32) matmul on the MXU and combines chunks per row with a
-     cumsum + row-boundary slice — no scatter anywhere in the hot path.
+     (C×n_m)ᵀ(C×32) bf16 matmul on the MXU and combines chunks per row
+     with a cumsum + row-boundary slice — no scatter in the tally.
 
-Numerics match ops/voting.cast_votes exactly for integer tallies (the α
-recompute uses the same fp32 formula on the same inputs).
+vs the readable engine (ops/voting.py, ~7 indexed accesses per vote): same
+tallies up to rare ±1 α-bin moves at bin boundaries (golden-tested < 0.5%).
+The reference GPU implementation leans on fast random HBM access
+(ppf_vote_kernel, kernel.cu:504-554); this design replaces that access
+pattern wholesale rather than translating it.
+
+Models with n_points > 1024 or bucket counts ≥ 2^CNT_BITS or pair arrays
+≥ 2^OFF_BITS fall back to unpacked two-lookup tables automatically.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,135 +52,175 @@ LANES = 128
 # Tally chunk: votes per one-hot MXU matmul; each reference row's votes
 # are padded to a chunk multiple (cap sizing must add TALLY_CHUNK per row).
 TALLY_CHUNK = 8192
-# Rotation blocks per packed table: 128/ROT masked tga passes per lookup,
-# table memory = ROT × base. ROT=16 -> 8 passes.
-ROT = 16
+# Rotations materialized per packed table: 128/rot masked tga passes per
+# lookup; rot=128 -> ONE pass, memory = 128 x base.
+DEFAULT_ROT = 128
+
+# uint32 packing layouts.
+CNT_BITS = 12                      # bucket count field (counts < 4096)
+OFF_BITS = 32 - CNT_BITS           # pair-array offset field
+ALPHA_BITS = 22                    # fixed-point α_m field
+M_BITS = 32 - ALPHA_BITS           # model point index field (n_m <= 1024)
+_ALPHA_SCALE = (1 << ALPHA_BITS) / (2.0 * math.pi)
 
 
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-class PackedTable(NamedTuple):
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["packed"], meta_fields=["height", "rot"])
+@dataclasses.dataclass(frozen=True)
+class PackedTable:
     """Rotation-packed lookup table for arbitrary-lane sublane gathers.
 
-    packed[ρ·H + h, l] = flat[h·128 + (l+ρ) % 128] for ρ in [0, ROT).
-    A query k in lane l is served by pass b when (k−l) mod 128 lies in
-    [b·ROT, (b+1)·ROT)."""
-    packed: jax.Array           # (ROT*H, LANES)
+    packed[ρ·H + h, l] = flat[h·128 + (l+ρ) % 128] for ρ in [0, rot).
+    With rot=128 a query k in lane l is served by one take_along_axis at
+    row ((k−l) mod 128)·H + k//128; smaller rot uses 128/rot masked passes
+    with lane-rolled copies. height/rot are static pytree metadata."""
+    packed: jax.Array           # (rot*H, LANES)
     height: int                 # H = padded_len / 128
+    rot: int                    # rotations materialized (divides 128)
 
 
-def pack_table(flat, fill=0) -> PackedTable:
-    flat = jnp.asarray(flat)
+def pack_table(flat, fill=0, rot: int = DEFAULT_ROT) -> PackedTable:
+    """Host-side relayout (NumPy): an eager device build would issue dozens
+    of tiny compiles through the TPU tunnel."""
+    flat = np.asarray(flat)
     n = flat.shape[0]
     H = _ceil_to(n, LANES) // LANES
-    padded = jnp.concatenate([
-        flat, jnp.full((H * LANES - n,), fill, flat.dtype)])
+    padded = np.concatenate([
+        flat, np.full((H * LANES - n,), fill, flat.dtype)])
     grid = padded.reshape(H, LANES)
-    blocks = []
-    for rho in range(ROT):
-        blocks.append(jnp.roll(grid, -rho, axis=1))
-    return PackedTable(packed=jnp.concatenate(blocks, axis=0), height=H)
+    packed = np.concatenate([np.roll(grid, -rho, axis=1)
+                             for rho in range(rot)], axis=0)
+    return PackedTable(packed=jnp.asarray(packed), height=H, rot=rot)
 
 
 def packed_lookup(table: PackedTable, keys):
-    """keys: (Q, LANES) int32 -> values (Q, LANES), 128/ROT tga passes.
-
-    Pass b serves queries whose needed rotation ρ = (k − lane) mod 128 lies
-    in [b·ROT, (b+1)·ROT): rolling the packed table's lanes by −b·ROT turns
-    its stored rotations 0..ROT−1 into b·ROT..(b+1)·ROT−1."""
+    """keys: (Q, LANES) int32 -> values (Q, LANES)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
     hi = keys // LANES
     lo = keys % LANES
-    rot = (lo - lane) % LANES
+    rho = (lo - lane) % LANES
+    if table.rot == LANES:
+        return jnp.take_along_axis(table.packed, rho * table.height + hi,
+                                   axis=0)
     out = jnp.zeros(keys.shape, table.packed.dtype)
-    n_pass = LANES // ROT
+    n_pass = LANES // table.rot
     for b in range(n_pass):
-        tbl = table.packed if b == 0 else jnp.roll(table.packed, -b * ROT,
-                                                   axis=1)
-        local = rot - b * ROT
-        in_block = (local >= 0) & (local < ROT)
+        tbl = table.packed if b == 0 else jnp.roll(table.packed,
+                                                   -b * table.rot, axis=1)
+        local = rho - b * table.rot
+        in_block = (local >= 0) & (local < table.rot)
         row = jnp.where(in_block, local * table.height + hi, 0)
         got = jnp.take_along_axis(tbl, row, axis=0)
         out = jnp.where(in_block, got, out)
     return out
 
 
-class ReplicatedTable(NamedTuple):
-    """Fully lane-replicated table: every lane holds the whole flat table;
-    queries from any lane in one tga. Memory = 128 × base — for small
-    tables only (scene coordinates, per-row data)."""
-    rep: jax.Array              # (n_pad, LANES)
-
-
-def replicate_table(flat, fill=0) -> ReplicatedTable:
-    flat = jnp.asarray(flat)
-    n = flat.shape[0]
-    n_pad = max(_ceil_to(n, 8), 8)
-    padded = jnp.concatenate([
-        flat, jnp.full((n_pad - n,), fill, flat.dtype)])
-    return ReplicatedTable(rep=jnp.tile(padded[:, None], (1, LANES)))
-
-
-def replicated_lookup(table: ReplicatedTable, idx):
-    """idx: (Q, LANES) int32 -> values (Q, LANES), one tga."""
-    return jnp.take_along_axis(table.rep, idx, axis=0)
-
-
 class FastModelTables(NamedTuple):
-    """Rotation-packed model-side tables built from a KeyTable."""
-    counts: PackedTable         # int32 over key space K
-    offsets: PackedTable        # int32 over key space K
-    pair_mr: PackedTable        # int32 over pair slots P
-    pair_alpha: PackedTable     # float32 over pair slots P
+    """Model-side tables. Packed single-lookup variants when the model fits
+    the bit budgets, else unpacked two-lookup fallbacks (fields are None
+    when unused — structural, so jit sees static branches)."""
+    cnt_off: Optional[PackedTable]     # uint32 (offset<<CNT_BITS | count)
+    pair_packed: Optional[PackedTable]  # uint32 (m << ALPHA_BITS | α_fix)
+    counts: Optional[PackedTable]      # fallback: int32 over key space
+    offsets: Optional[PackedTable]     # fallback: int32 over key space
+    pair_mr: Optional[PackedTable]     # fallback: int32 over pair slots
+    pair_alpha: Optional[PackedTable]  # fallback: float32 over pair slots
 
 
-def build_fast_tables(table: voting_ref.KeyTable) -> FastModelTables:
+def build_fast_tables(table: voting_ref.KeyTable,
+                      max_bytes_per_table: int = 512 * 1024 * 1024
+                      ) -> FastModelTables:
+    def rot_for(n_elems, itemsize):
+        rot = DEFAULT_ROT
+        while rot > 1 and _ceil_to(n_elems, LANES) * itemsize * rot > \
+                max_bytes_per_table:
+            rot //= 2
+        return rot
+
+    counts = np.asarray(table.counts)
+    offsets = np.asarray(table.offsets)
+    pair_mr = np.asarray(table.pair_mr)
+    pair_alpha = np.asarray(table.pair_alpha)
+    k = counts.shape[0]
+    p = pair_mr.shape[0]
+    rot_k = rot_for(k, 4)
+    rot_p = rot_for(p, 4)
+
+    can_pack_ko = (counts.max(initial=0) < (1 << CNT_BITS) and
+                   p < (1 << OFF_BITS))
+    n_m = int(pair_mr.max(initial=0)) + 1
+    can_pack_pair = n_m <= (1 << M_BITS)
+
+    if can_pack_ko:
+        cnt_off = ((offsets.astype(np.uint32) << CNT_BITS)
+                   | counts.astype(np.uint32))
+        t_cnt_off = pack_table(cnt_off, rot=rot_k)
+        t_counts = t_offsets = None
+    else:
+        t_cnt_off = None
+        t_counts = pack_table(counts, rot=rot_k)
+        t_offsets = pack_table(offsets, rot=rot_k)
+
+    if can_pack_pair:
+        a_fix = np.clip(np.round(
+            (pair_alpha.astype(np.float64) + math.pi) * _ALPHA_SCALE),
+            0, (1 << ALPHA_BITS) - 1).astype(np.uint32)
+        pair_packed = (pair_mr.astype(np.uint32) << ALPHA_BITS) | a_fix
+        t_pair_packed = pack_table(pair_packed, rot=rot_p)
+        t_pair_mr = t_pair_alpha = None
+    else:
+        t_pair_packed = None
+        t_pair_mr = pack_table(pair_mr, rot=rot_p)
+        t_pair_alpha = pack_table(pair_alpha, fill=0.0, rot=rot_p)
+
     return FastModelTables(
-        counts=pack_table(table.counts),
-        offsets=pack_table(table.offsets),
-        pair_mr=pack_table(table.pair_mr),
-        pair_alpha=pack_table(table.pair_alpha, fill=0.0),
-    )
+        cnt_off=t_cnt_off, pair_packed=t_pair_packed,
+        counts=t_counts, offsets=t_offsets,
+        pair_mr=t_pair_mr, pair_alpha=t_pair_alpha)
 
 
 def _as_q(x, cap):
-    """Reshape a flat (cap,) array to (cap/128, 128) query layout."""
     return x.reshape(cap // LANES, LANES)
 
 
-def cast_votes_fast(scene_points, scene_normals, ref_indices, ref_beta,
-                    ref_gamma, scene_keys, tables: FastModelTables,
+def cast_votes_fast(scene_keys, scene_alpha, tables: FastModelTables,
                     n_model: int, d_angle: float, vote_cap: int,
                     chunk: int = TALLY_CHUNK, use_mxu_tally: bool = True
                     ) -> voting_ref.VoteResult:
     """Generate and tally votes (fast engine).
 
     Args:
-      scene_points/normals: (n, 3) float32 (device).
-      ref_indices: (R,) int32 reference rows.
-      ref_beta/ref_gamma: (R,) canonical angles of the reference points.
       scene_keys: (R, n) int32 packed PPF keys (INVALID_KEY masked).
+      scene_alpha: (R, n) float32 α_s per scene pair.
       tables: rotation-packed model tables.
-      vote_cap: static capacity; must be a multiple of 128·chunk alignment
-        is handled internally. Row padding consumes up to R·chunk extra
-        slots — size vote_cap accordingly.
+      n_model / d_angle: model size, α quantization step.
+      vote_cap: static capacity (internally rounded up to lane/chunk
+        alignment). Row padding consumes up to TALLY_CHUNK per reference
+        row — size accordingly (see drost.match).
     """
-    # Internal capacity must align to both the lane width and the tally
-    # chunk; round up (it is only a buffer size).
     vote_cap = _ceil_to(vote_cap, max(LANES, chunk))
     R, n = scene_keys.shape
     S = R * n
     flat_keys = scene_keys.reshape(-1)
+    flat_alpha = scene_alpha.reshape(-1)
     valid = flat_keys != ppf_ops.INVALID_KEY
     safe_keys = jnp.where(valid, flat_keys, 0)
 
     S_pad = _ceil_to(S, LANES)
     keys_q = _as_q(jnp.concatenate(
         [safe_keys, jnp.zeros((S_pad - S,), jnp.int32)]), S_pad)
-    cnt_q = packed_lookup(tables.counts, keys_q).reshape(-1)[:S]
-    off_q = packed_lookup(tables.offsets, keys_q).reshape(-1)[:S]
+    if tables.cnt_off is not None:
+        co = packed_lookup(tables.cnt_off, keys_q).reshape(-1)[:S]
+        cnt_q = (co & jnp.uint32((1 << CNT_BITS) - 1)).astype(jnp.int32)
+        off_q = jax.lax.shift_right_logical(
+            co, jnp.uint32(CNT_BITS)).astype(jnp.int32)
+    else:
+        cnt_q = packed_lookup(tables.counts, keys_q).reshape(-1)[:S]
+        off_q = packed_lookup(tables.offsets, keys_q).reshape(-1)[:S]
     cnt = jnp.where(valid, cnt_q, 0)
 
     # Row-aligned padding so every tally chunk maps to one reference row.
@@ -208,96 +248,67 @@ def cast_votes_fast(scene_points, scene_normals, ref_indices, ref_beta,
     head_idx = jnp.where(nz, heads, vote_cap)                   # drop empties
     tail_idx = jnp.where(nz, heads + cnt, vote_cap)
 
-    # sp and start fills (monotonic -> scatter-max + cummax).
-    s_iota = jnp.arange(S, dtype=jnp.int32)
-    sp = jax.lax.cummax(
-        jnp.zeros((vote_cap,), jnp.int32)
-        .at[head_idx].max(s_iota, mode="drop"),
-        axis=0)
+    # Monotonic fills: segment start and owning row.
     start = jax.lax.cummax(
         jnp.zeros((vote_cap,), jnp.int32)
         .at[head_idx].max(head_idx, mode="drop"),
         axis=0)
+    r_fill = jax.lax.cummax(
+        jnp.zeros((vote_cap,), jnp.int32)
+        .at[head_idx].max(r_of_s, mode="drop"),
+        axis=0)
 
-    # Integer segment fills via cumsum of ±diffs at head/tail.
-    def seg_fill_int(vals):
-        d = jnp.zeros((vote_cap,), jnp.int32)
-        d = d.at[head_idx].add(vals, mode="drop")
-        d = d.at[tail_idx].add(-vals, mode="drop")
-        return jnp.cumsum(d, dtype=jnp.int32)
+    # Integer fill of the pair-array base (exact) and count; float fill of
+    # α_s (error ≤ ~1e-4 rad from cross-segment fp cancellation — 0.05% of
+    # an α bin; documented tolerance-class deviation).
+    def seg_fill(vals, dtype):
+        d = jnp.zeros((vote_cap,), dtype)
+        d = d.at[head_idx].add(vals.astype(dtype), mode="drop")
+        d = d.at[tail_idx].add(-vals.astype(dtype), mode="drop")
+        return jnp.cumsum(d, dtype=dtype)
 
-    off_v = seg_fill_int(jnp.where(nz, off_q, 0))
-    cnt_v = seg_fill_int(jnp.where(nz, cnt, 0))
+    # α_s as 22-bit fixed point: integer fill is exact.
+    alpha_fix = jnp.round((flat_alpha + jnp.float32(math.pi))
+                          * jnp.float32(_ALPHA_SCALE)).astype(jnp.int32)
+    alpha_fix = jnp.clip(alpha_fix, 0, (1 << ALPHA_BITS) - 1)
 
-    # Per-vote stage, slab-scanned to bound live memory: each slab reads its
-    # slices of the four fill arrays and emits compact (m_r, a_bin, ok).
-    ref_pts = scene_points[ref_indices]
-    cb, sb = jnp.cos(ref_beta), jnp.sin(ref_beta)
-    cg, sg = jnp.cos(ref_gamma), jnp.sin(ref_gamma)
-    row1 = jnp.stack([sg * cb, cg, sg * sb], axis=-1)           # (R, 3)
-    row2 = jnp.stack([-sb, jnp.zeros_like(sb), cb], axis=-1)
-    p_tabs = [replicate_table(scene_points[:, c]) for c in range(3)]
-    r_tabs = [replicate_table(ref_pts[:, c]) for c in range(3)]
-    r1_tabs = [replicate_table(row1[:, c]) for c in range(3)]
-    r2_tabs = [replicate_table(row2[:, c]) for c in range(3)]
-    P_max = tables.pair_mr.height * LANES - 1
+    off_v = seg_fill(jnp.where(nz, off_q, 0), jnp.int32)
+    cnt_v = seg_fill(jnp.where(nz, cnt, 0), jnp.int32)
+    alpha_v = seg_fill(jnp.where(nz, alpha_fix, 0), jnp.int32)
 
-    slab = min(1 << 21, vote_cap)
-    # vote_cap is a multiple of max(LANES, chunk); make it divide into slabs.
-    slab = math.gcd(slab, vote_cap)
-    n_slabs = vote_cap // slab
+    v_iota = jnp.arange(vote_cap, dtype=jnp.int32)
+    j = v_iota - start
+    vote_ok = (j >= 0) & (j < cnt_v) & (v_iota < total_p)
 
-    def per_vote(args):
-        sp_s, start_s, off_s, cnt_s, v0 = args
-        v_iota = v0 + jnp.arange(slab, dtype=jnp.int32)
-        j = v_iota - start_s
-        ok = (j >= 0) & (j < cnt_s) & (v_iota < total_p)
-        slot = jnp.clip(off_s + j, 0, P_max)
-        slot_q = _as_q(slot, slab)
+    # THE per-vote lookup.
+    n_angle = int(round(2.0 * math.pi / d_angle))
+    if tables.pair_packed is not None:
+        P_max = tables.pair_packed.height * LANES - 1
+        slot = jnp.clip(off_v + j, 0, P_max)
+        pp = packed_lookup(tables.pair_packed, _as_q(slot, vote_cap)) \
+            .reshape(-1)
+        m_r = jax.lax.shift_right_logical(
+            pp, jnp.uint32(ALPHA_BITS)).astype(jnp.int32)
+        am_fix = (pp & jnp.uint32((1 << ALPHA_BITS) - 1)).astype(jnp.int32)
+    else:
+        P_max = tables.pair_mr.height * LANES - 1
+        slot = jnp.clip(off_v + j, 0, P_max)
+        slot_q = _as_q(slot, vote_cap)
         m_r = packed_lookup(tables.pair_mr, slot_q).reshape(-1)
         a_m = packed_lookup(tables.pair_alpha, slot_q).reshape(-1)
+        am_fix = jnp.clip(jnp.round((a_m + jnp.float32(math.pi))
+                                    * jnp.float32(_ALPHA_SCALE))
+                          .astype(jnp.int32), 0, (1 << ALPHA_BITS) - 1)
 
-        # Recompute α_s per vote from geometry via replicated small
-        # tables — identical fp32 formula to ops.ppf.pairwise_ppf_keys.
-        r_v = sp_s // n
-        i_v = sp_s - r_v * n
-        i_q = _as_q(i_v, slab)
-        r_q = _as_q(r_v, slab)
-        px = replicated_lookup(p_tabs[0], i_q)
-        py = replicated_lookup(p_tabs[1], i_q)
-        pz = replicated_lookup(p_tabs[2], i_q)
-        dx = px - replicated_lookup(r_tabs[0], r_q)
-        dy = py - replicated_lookup(r_tabs[1], r_q)
-        dz = pz - replicated_lookup(r_tabs[2], r_q)
-        u_y = (replicated_lookup(r1_tabs[0], r_q) * dx +
-               replicated_lookup(r1_tabs[1], r_q) * dy +
-               replicated_lookup(r1_tabs[2], r_q) * dz)
-        u_z = (replicated_lookup(r2_tabs[0], r_q) * dx +
-               replicated_lookup(r2_tabs[1], r_q) * dy +
-               replicated_lookup(r2_tabs[2], r_q) * dz)
-        a_s = jnp.arctan2(u_z, u_y).reshape(-1)
-
-        # α bin exactly as kernel.cu:341-342 (same formula as ops.voting).
-        two_pi = jnp.float32(2.0 * jnp.pi)
-        alpha = a_s - a_m
-        alpha = alpha - two_pi * jnp.floor((alpha + jnp.pi) / two_pi)
-        shifted = alpha + jnp.float32(jnp.pi)
-        quant = shifted - jnp.fmod(shifted, jnp.float32(d_angle))
-        a_bin = jnp.clip(jnp.round(quant / jnp.float32(d_angle))
-                         .astype(jnp.int32), 0, voting_ref.ALPHA_PAD - 1)
-        return (m_r.astype(jnp.int32), a_bin.astype(jnp.int8),
-                ok, r_v)
-
-    v_bases = jnp.arange(n_slabs, dtype=jnp.int32) * slab
-    m_r, a_bin, vote_ok, r_v = jax.lax.map(
-        per_vote,
-        (sp.reshape(n_slabs, slab), start.reshape(n_slabs, slab),
-         off_v.reshape(n_slabs, slab), cnt_v.reshape(n_slabs, slab),
-         v_bases))
-    m_r = m_r.reshape(-1)
-    a_bin = a_bin.reshape(-1).astype(jnp.int32)
-    vote_ok = vote_ok.reshape(-1)
-    r_v = r_v.reshape(-1)
+    # Integer α binning: wrap(α_s − α_m) to [0, 2π) then bin by 2π/n_angle,
+    # all in 22-bit fixed point — matches kernel.cu:341-342 up to the
+    # 7.5e-7 rad fixed-point quantization (the reference's own fp32 noise
+    # class). Zero per-vote transcendentals.
+    half = jnp.int32(1 << (ALPHA_BITS - 1))
+    mask = jnp.int32((1 << ALPHA_BITS) - 1)
+    w = (alpha_v - am_fix + half) & mask
+    a_bin = jnp.clip((w * n_angle) >> ALPHA_BITS, 0,
+                     voting_ref.ALPHA_PAD - 1)
 
     A = voting_ref.ALPHA_PAD
     if use_mxu_tally:
@@ -306,7 +317,7 @@ def cast_votes_fast(scene_points, scene_normals, ref_indices, ref_beta,
                          vote_cap=vote_cap)
     else:
         target = jnp.where(vote_ok,
-                           (r_v * n_model + m_r) * A + a_bin,
+                           (r_fill * n_model + m_r) * A + a_bin,
                            R * n_model * A)
         acc = (jnp.zeros((R * n_model * A,), jnp.int32)
                .at[target].add(1, mode="drop").reshape(R, n_model, A))
@@ -340,7 +351,7 @@ def _mxu_tally(m_r, a_bin, vote_ok, r_of_chunk_start, R, n_model, chunk,
             preferred_element_type=jnp.float32)                 # (m_pad, A)
 
     partials = jax.lax.map(chunk_partial, (m_c, a_c, ok_c),
-                           batch_size=8)                      # (n_chunks, m_pad, A)
+                           batch_size=8)                        # (n_chunks, m_pad, A)
 
     # Per-row combine: rows own contiguous chunk ranges
     # [row_start_p[r]/chunk, row_start_p[r+1]/chunk).

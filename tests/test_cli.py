@@ -112,3 +112,27 @@ def test_cli_requires_normals_without_flag(tmp_path, rng, capsys):
     with pytest.raises(SystemExit):
         cli.main(["--scene_files", str(path), "--model_files", str(path),
                   "--tau_d", "0.1"])
+
+
+def test_cli_icp_refinement(scene_fixture, capsys):
+    model, scene, truth = scene_fixture
+    rc, out = _run([
+        "--scene_files", str(scene), "--model_files", str(model),
+        "--tau_d", "0.1", "--scene_leaf_size", "0.05",
+        "--icp_iterations", "10",
+        "--validation_files", str(truth),
+    ], capsys)
+    assert rc == 0
+    assert out.strip() == "1"
+
+
+def test_cli_reference_engine(scene_fixture, capsys):
+    model, scene, truth = scene_fixture
+    rc, out = _run([
+        "--scene_files", str(scene), "--model_files", str(model),
+        "--tau_d", "0.1", "--scene_leaf_size", "0.05",
+        "--engine", "reference",
+        "--validation_files", str(truth),
+    ], capsys)
+    assert rc == 0
+    assert out.strip() == "1"

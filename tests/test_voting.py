@@ -142,16 +142,13 @@ def test_fast_engine_matches_reference_engine(rng):
         ref_out = drost.match_accumulator_only(desc, s_pts, s_nrm, cfg)
 
         ref_idx = jnp.arange(0, n_s, df, dtype=jnp.int32)
-        keys, _ = ppf_ops.pairwise_ppf_keys(
+        keys, alpha_s = ppf_ops.pairwise_ppf_keys(
             s_pts, s_nrm, desc.d_dist, cfg.d_angle, desc.max_dist_bin,
             ref_indices=ref_idx)
-        s_beta, s_gamma = tr.canonical_angles(s_pts[np.asarray(ref_idx)],
-                                              s_nrm[np.asarray(ref_idx)])
         n_ref = len(np.asarray(ref_idx))
         for mxu in (True, False):
             fast = voting_fast.cast_votes_fast(
-                jnp.asarray(s_pts), jnp.asarray(s_nrm), ref_idx, s_beta,
-                s_gamma, keys, desc.fast_tables, desc.n_points, cfg.d_angle,
+                keys, alpha_s, desc.fast_tables, desc.n_points, cfg.d_angle,
                 vote_cap=int(ref_out.num_votes) +
                 voting_fast.TALLY_CHUNK * n_ref,
                 use_mxu_tally=mxu)
