@@ -45,6 +45,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from objective_slam_tpu.ops import ppf as ppf_ops
 from objective_slam_tpu.ops import voting as voting_ref
 
@@ -248,33 +251,34 @@ def cast_votes_fast(scene_keys, scene_alpha, tables: FastModelTables,
     head_idx = jnp.where(nz, heads, vote_cap)                   # drop empties
     tail_idx = jnp.where(nz, heads + cnt, vote_cap)
 
-    # Monotonic fills: segment start and owning row.
+    # Monotonic fill: segment start (owning row is implied by the
+    # row-aligned chunks; only the scatter-fallback tally needs it).
     start = jax.lax.cummax(
         jnp.zeros((vote_cap,), jnp.int32)
         .at[head_idx].max(head_idx, mode="drop"),
         axis=0)
-    r_fill = jax.lax.cummax(
-        jnp.zeros((vote_cap,), jnp.int32)
-        .at[head_idx].max(r_of_s, mode="drop"),
-        axis=0)
 
-    # Integer fill of the pair-array base (exact) and count; float fill of
-    # α_s (error ≤ ~1e-4 rad from cross-segment fp cancellation — 0.05% of
-    # an α bin; documented tolerance-class deviation).
-    def seg_fill(vals, dtype):
-        d = jnp.zeros((vote_cap,), dtype)
-        d = d.at[head_idx].add(vals.astype(dtype), mode="drop")
-        d = d.at[tail_idx].add(-vals.astype(dtype), mode="drop")
-        return jnp.cumsum(d, dtype=dtype)
+    # Integer segment fills are exact; int32 wraparound is harmless because
+    # the ± diffs cancel exactly in modular arithmetic.
+    def seg_fill(vals):
+        d = jnp.zeros((vote_cap,), jnp.int32)
+        d = d.at[head_idx].add(vals, mode="drop")
+        d = d.at[tail_idx].add(-vals, mode="drop")
+        return jnp.cumsum(d, dtype=jnp.int32)
 
     # α_s as 22-bit fixed point: integer fill is exact.
     alpha_fix = jnp.round((flat_alpha + jnp.float32(math.pi))
                           * jnp.float32(_ALPHA_SCALE)).astype(jnp.int32)
     alpha_fix = jnp.clip(alpha_fix, 0, (1 << ALPHA_BITS) - 1)
 
-    off_v = seg_fill(jnp.where(nz, off_q, 0), jnp.int32)
-    cnt_v = seg_fill(jnp.where(nz, cnt, 0), jnp.int32)
-    alpha_v = seg_fill(jnp.where(nz, alpha_fix, 0), jnp.int32)
+    # (offset << CNT_BITS | count) riding ONE fill: distinct segments never
+    # overlap, so the packed value transports exactly.
+    packed_oc = (off_q << CNT_BITS) | cnt
+    oc_v = seg_fill(jnp.where(nz, packed_oc, 0))
+    off_v = jax.lax.shift_right_logical(
+        oc_v.view(jnp.uint32), jnp.uint32(CNT_BITS)).astype(jnp.int32)
+    cnt_v = oc_v & jnp.int32((1 << CNT_BITS) - 1)
+    alpha_v = seg_fill(jnp.where(nz, alpha_fix, 0))
 
     v_iota = jnp.arange(vote_cap, dtype=jnp.int32)
     j = v_iota - start
@@ -312,10 +316,21 @@ def cast_votes_fast(scene_keys, scene_alpha, tables: FastModelTables,
 
     A = voting_ref.ALPHA_PAD
     if use_mxu_tally:
-        acc = _mxu_tally(m_r, a_bin, vote_ok, r_of_chunk_start=row_start_p,
-                         R=R, n_model=n_model, chunk=chunk,
-                         vote_cap=vote_cap)
+        if jax.default_backend() == "tpu":
+            acc = _pallas_tally(m_r, a_bin, vote_ok,
+                                r_of_chunk_start=row_start_p, row_tot=row_tot,
+                                R=R, n_model=n_model, chunk=chunk,
+                                vote_cap=vote_cap)
+        else:
+            acc = _mxu_tally(m_r, a_bin, vote_ok,
+                             r_of_chunk_start=row_start_p,
+                             R=R, n_model=n_model, chunk=chunk,
+                             vote_cap=vote_cap)
     else:
+        r_fill = jax.lax.cummax(
+            jnp.zeros((vote_cap,), jnp.int32)
+            .at[head_idx].max(r_of_s, mode="drop"),
+            axis=0)
         target = jnp.where(vote_ok,
                            (r_fill * n_model + m_r) * A + a_bin,
                            R * n_model * A)
@@ -364,4 +379,59 @@ def _mxu_tally(m_r, a_bin, vote_ok, r_of_chunk_start, R, n_model, chunk,
         jnp.full((1,), n_chunks, jnp.int32)])
     row_chunk_end = jnp.clip(row_chunk_end, 0, n_chunks)
     acc = cum[row_chunk_end] - cum[row_chunk_start]             # (R, m_pad, A)
+    return jnp.round(acc[:, :n_model, :]).astype(jnp.int32)
+
+
+def _pallas_tally(m_r, a_bin, vote_ok, r_of_chunk_start, row_tot, R,
+                  n_model, chunk, vote_cap):
+    """Pallas tally: one grid step per vote chunk; the one-hot operands are
+    built transposed in VMEM and contracted on the MXU without ever
+    touching HBM (XLA materializes them — ~4x the tally cost). Per-chunk
+    partials combine into per-row tallies with the same cumsum +
+    row-boundary slice as _mxu_tally. Votes inside a chunk are treated as
+    (chunk/128, 128) groups — a histogram is order-invariant."""
+    A = voting_ref.ALPHA_PAD
+    n_chunks = vote_cap // chunk
+    m_pad = _ceil_to(n_model, 128)
+    G = chunk // LANES
+
+    mv = m_r.reshape(n_chunks, G, LANES)
+    av = a_bin.reshape(n_chunks, G, LANES)
+    okv = vote_ok.reshape(n_chunks, G, LANES)
+
+    def kernel(m_ref, a_ref, ok_ref, out_ref):
+        def group(g, acc):
+            iota_m = jax.lax.broadcasted_iota(jnp.int32, (m_pad, LANES), 0)
+            iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0)
+            m_g = m_ref[0, g, :][None, :]
+            a_g = a_ref[0, g, :][None, :]
+            ok_g = ok_ref[0, g, :][None, :]
+            om_t = ((m_g == iota_m) & ok_g).astype(jnp.bfloat16)
+            oa_t = (a_g == iota_a).astype(jnp.bfloat16)
+            return acc + jax.lax.dot_general(
+                om_t, oa_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (m_pad, A)
+
+        out_ref[0] = jax.lax.fori_loop(
+            0, G, group, jnp.zeros((m_pad, A), jnp.float32))
+
+    partials = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, A), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, m_pad, A), jnp.float32),
+    )(mv, av, okv)
+
+    cum = jnp.cumsum(partials, axis=0, dtype=jnp.float32)
+    cum = jnp.concatenate([jnp.zeros((1, m_pad, A), jnp.float32), cum],
+                          axis=0)
+    row_chunk_start = jnp.clip(r_of_chunk_start // chunk, 0, n_chunks)
+    row_chunk_end = jnp.concatenate([
+        row_chunk_start[1:], jnp.full((1,), n_chunks, jnp.int32)])
+    acc = cum[jnp.clip(row_chunk_end, 0, n_chunks)] - cum[row_chunk_start]
     return jnp.round(acc[:, :n_model, :]).astype(jnp.int32)

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from objective_slam_tpu.config import PPFConfig
 from objective_slam_tpu.models.drost import ModelDescription
 from objective_slam_tpu.ops import clustering, ppf as ppf_ops, transforms as tr
-from objective_slam_tpu.ops import voting
+from objective_slam_tpu.ops import voting, voting_fast
 
 
 class ShardedMatchResult(NamedTuple):
@@ -56,6 +56,9 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
     df = config.ref_point_df
     R = (n_scene + df - 1) // df
     R_pad = ((R + n_dev - 1) // n_dev) * n_dev
+    # The fast engine row-pads each local row to a tally chunk; budget it.
+    if config.engine == "fast":
+        vote_cap_per_shard += (R_pad // n_dev) * voting_fast.TALLY_CHUNK
     # Padded rows index a sentinel far outside the cloud -> self-pair rule
     # can't trigger, distance overflows -> INVALID_KEY everywhere.
     ref_idx_host = np.full((R_pad,), n_scene - 1, np.int32)
@@ -73,8 +76,14 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
             scene_points, scene_normals, mdl.d_dist, config.d_angle,
             mdl.max_dist_bin, ref_indices=ref_idx)
         keys = jnp.where(pad_mask[:, None], ppf_ops.INVALID_KEY, keys)
-        votes = voting.cast_votes(keys, alpha_s, mdl.table, mdl.n_points,
-                                  config.d_angle, vote_cap_per_shard)
+        if config.engine == "fast" and mdl.fast_tables is not None:
+            votes = voting_fast.cast_votes_fast(
+                keys, alpha_s, mdl.fast_tables, mdl.n_points,
+                config.d_angle, vote_cap_per_shard)
+        else:
+            votes = voting.cast_votes(keys, alpha_s, mdl.table,
+                                      mdl.n_points, config.d_angle,
+                                      vote_cap_per_shard)
         acc = votes.accumulator
         Rl, n_m, A = acc.shape
         counts, idx = jax.lax.top_k(acc.reshape(-1), K)

@@ -45,8 +45,8 @@ def main():
     mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
     desc = ost.build_model_description(mp, mn, cfg, d_dist=d_dist)
     print(f"model {desc.n_points} pts; table rot: "
-          f"K={desc.fast_tables.counts.rot} P={desc.fast_tables.pair_mr.rot}",
-          flush=True)
+          f"K={desc.fast_tables.cnt_off.rot} "
+          f"P={desc.fast_tables.pair_packed.rot}", flush=True)
 
     vox = pc.voxel_downsample(scene_raw, scene_nrm_raw, d_dist,
                               capacity=4096)
@@ -59,7 +59,7 @@ def main():
     f_keys = jax.jit(lambda p, q: ppf_ops.pairwise_ppf_keys(
         p, q, desc.d_dist, cfg.d_angle, desc.max_dist_bin,
         ref_indices=ref_idx))
-    keys, _ = f_keys(sp, sn)
+    keys, alpha_s = f_keys(sp, sn)
     dt = wall(f_keys, sp, sn)
     S = R * n
     print(f"[keys]          {dt*1e3:9.1f} ms ({S/dt/1e9:.2f} Gpairs/s)",
@@ -73,28 +73,45 @@ def main():
     keys_q = jnp.concatenate([safe, jnp.zeros((S_pad - S,), jnp.int32)]) \
         .reshape(-1, 128)
 
-    f_cnt = jax.jit(lambda kq: (vf.packed_lookup(t.counts, kq),
-                                vf.packed_lookup(t.offsets, kq)))
-    cnt_q, off_q = f_cnt(keys_q)
+    f_cnt = jax.jit(lambda kq: vf.packed_lookup(t.cnt_off, kq))
+    co = f_cnt(keys_q)
     dt = wall(f_cnt, keys_q)
-    print(f"[cnt/off tga]   {dt*1e3:9.1f} ms ({2*S/dt/1e9:.2f} Glookups/s)",
+    print(f"[cnt_off tga]   {dt*1e3:9.1f} ms ({S/dt/1e9:.2f} Glookups/s)",
           flush=True)
+    cnt_q = (co & jnp.uint32((1 << vf.CNT_BITS) - 1)).astype(jnp.int32)
 
     cnt = jnp.where(valid, cnt_q.reshape(-1)[:S], 0)
     total = int(jnp.sum(cnt))
     n_refs = R
-    cap = 1 << int(np.ceil(np.log2(total + vf.TALLY_CHUNK * n_refs)))
+    cap = ((int((total + vf.TALLY_CHUNK * n_refs) * 1.02)
+            + vf.TALLY_CHUNK - 1) // vf.TALLY_CHUNK) * vf.TALLY_CHUNK
     print(f"votes {total}; cap {cap}", flush=True)
 
-    s_beta, s_gamma = tr.canonical_angles(sp[ref_idx], sn[ref_idx])
-
-    f_full = jax.jit(lambda p, q, k: vf.cast_votes_fast(
-        p, q, ref_idx, s_beta, s_gamma, k, t, desc.n_points, cfg.d_angle,
-        cap))
-    out = f_full(sp, sn, keys)
-    dt = wall(f_full, sp, sn, keys)
+    f_full = jax.jit(lambda k, a: vf.cast_votes_fast(
+        k, a, t, desc.n_points, cfg.d_angle, cap))
+    out = f_full(keys, alpha_s)
+    dt = wall(f_full, keys, alpha_s)
     print(f"[cast_votes_fast] {dt*1e3:7.1f} ms "
           f"({int(out.num_votes)/dt/1e9:.3f} Gvotes/s)", flush=True)
+
+    # pure per-vote pair lookup at cap
+    slots = jnp.asarray(rng.integers(0, max(1, p_len := 1), size=(1,)))
+    P_max = t.pair_packed.height * 128 - 1
+    slot = jnp.asarray(rng.integers(0, P_max, size=(cap,)).astype(np.int32))
+    f_pl = jax.jit(lambda s: vf.packed_lookup(t.pair_packed,
+                                              s.reshape(-1, 128)))
+    o = f_pl(slot)
+    dt = wall(f_pl, slot)
+    print(f"[pair tga CAP]  {dt*1e3:9.1f} ms ({cap/dt/1e9:.2f} Glookups/s)",
+          flush=True)
+
+    # cummax + cumsum at cap
+    x = jnp.asarray(rng.integers(0, 100, size=(cap,)).astype(np.int32))
+    f_cm = jax.jit(lambda v: jax.lax.cummax(v, axis=0)[-1]
+                   + jnp.cumsum(v, dtype=jnp.int32)[-1])
+    o = f_cm(x)
+    dt = wall(f_cm, x)
+    print(f"[cummax+cumsum CAP] {dt*1e3:5.1f} ms", flush=True)
 
     # tally only (random inputs at cap scale)
     nc = cap // vf.TALLY_CHUNK
@@ -120,7 +137,9 @@ def main():
         sk = jnp.where(va, fk, 0)
         kq = jnp.concatenate([sk, jnp.zeros((S_pad - S,), jnp.int32)]) \
             .reshape(-1, 128)
-        c = jnp.where(va, vf.packed_lookup(t.counts, kq).reshape(-1)[:S], 0)
+        co2 = vf.packed_lookup(t.cnt_off, kq).reshape(-1)[:S]
+        c = jnp.where(va, (co2 & jnp.uint32((1 << vf.CNT_BITS) - 1))
+                      .astype(jnp.int32), 0)
         voffs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                  jnp.cumsum(c, dtype=jnp.int32)[:-1]])
         heads = jnp.where(c > 0, voffs, cap)
