@@ -215,3 +215,24 @@ def mesh_vertex_normals(points, faces):
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     out = out / np.where(norms > 0, norms, 1.0)
     return out.astype(np.float32)
+
+
+def write_trans_adj(path, T) -> None:
+    """Write the translation-adjustment sidecar the MATLAB preprocessing
+    emits next to each PLY (compute_trans_adj.m:1-16,
+    compute_normals.m:17-22): the 4x4 transform that was applied to move
+    the cloud into its stored frame."""
+    import numpy as _np
+    T = _np.asarray(T, _np.float32)
+    with open(path, "w") as f:
+        for row in T:
+            f.write(" ".join(f"{v:.9g}" for v in row) + "\n")
+
+
+def read_trans_adj(path):
+    import numpy as _np
+    vals = []
+    with open(path) as f:
+        for line in f:
+            vals.extend(float(x) for x in line.split())
+    return _np.asarray(vals[:16], _np.float32).reshape(4, 4)

@@ -1,0 +1,58 @@
+"""End-to-end dataset harness: CLI runs over a small synthetic
+occlusion-style dataset -> per-scene logs -> analyze_uwa statistics.
+
+Automates the reference's UWA benchmark workflow (alignment CLI runs +
+analyze_mian.py, SURVEY.md §3.5) on generated data."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import analyze_uwa  # noqa: E402
+
+from objective_slam_tpu import cli  # noqa: E402
+from objective_slam_tpu.utils import ply, synthetic, validation  # noqa: E402
+
+
+def test_cli_runs_feed_analysis(tmp_path, rng, capsys):
+    # "chicken" stands in for a UWA model (diameter constant exists).
+    mp, mn = synthetic.blob_cloud(rng, 80)
+    scale = analyze_uwa.MODEL_DIAMS["chicken"] / 2.6  # stretch to UWA size
+    mp = (mp * scale).astype(np.float32)
+    model_path = tmp_path / "chicken_model.ply"
+    ply.write_ply(model_path, mp, mn)
+
+    occl_lines = ["scene model occlusion"]
+    run_dir = tmp_path / "run1"
+    run_dir.mkdir()
+    for scene_num, occl in [(1, 55.0), (2, 70.0)]:
+        sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+        scene_path = tmp_path / f"rs{scene_num}.ply"
+        truth_path = tmp_path / f"rs{scene_num}_truth.txt"
+        ply.write_ply(scene_path, sp, sn)
+        validation.write_truth_file(truth_path, T_true)
+        occl_lines.append(f"{scene_num} chicken {occl}")
+
+        rc = cli.main([
+            "--scene_files", str(scene_path),
+            "--model_files", str(model_path),
+            "--tau_d", "0.1",
+            "--scene_leaf_size", str(0.05 * scale),
+            "--validation_files", str(truth_path),
+            "--logfile", str(run_dir / f"rs{scene_num}_0.log"),
+        ])
+        assert rc == 0
+        assert capsys.readouterr().out.strip() == "1"
+
+    occl_path = tmp_path / "occlusion.txt"
+    occl_path.write_text("\n".join(occl_lines) + "\n")
+
+    data = analyze_uwa.read_occlusion_txt(occl_path)
+    analyze_uwa.read_run_dir(data, run_dir)
+    occl, nd, rot, match = analyze_uwa.analyze(data)
+    assert len(nd) == 2
+    assert match.all(), (nd, rot)
+    assert analyze_uwa.main([str(occl_path), str(run_dir)]) == 0

@@ -157,3 +157,16 @@ def test_validation_roundtrip(tmp_path, rng):
     bad = np.asarray(T2 @ np.asarray(tr.rotx(math.radians(20))))
     res2 = validation.validate_pose(bad, T, model_diameter=2.0)
     assert not res2.rot_match and not res2.match
+
+
+def test_trans_adj_sidecar(tmp_path, rng):
+    """M7 parity: the .trans_adj sidecar records the centering transform."""
+    pts = rng.normal(size=(30, 3)).astype(np.float32) + 5.0
+    centered, T = pc.center_scene(pts)
+    path = tmp_path / "cloud.ply.trans_adj"
+    pc.write_trans_adj(path, T)
+    T2 = pc.read_trans_adj(path)
+    np.testing.assert_allclose(T2, T, rtol=1e-6)
+    # Applying the recorded adjustment reproduces the stored cloud.
+    np.testing.assert_allclose(pts @ T2[:3, :3].T + T2[:3, 3], centered,
+                               atol=1e-5)
