@@ -130,6 +130,7 @@ def main():
         return voting_fast.cast_votes_fast(
             keys, alpha, desc.fast_tables, desc.n_points, cfg.d_angle, cap)
 
+
     run = jax.jit(pipeline)
     vrun = jax.jit(voting_stage)
 
@@ -170,8 +171,8 @@ def main():
             "e2e_pose_ms_100k_scene": e2e_ms,
             "e2e_target_ms": 30.0,
             "num_votes": n_votes,
-            "vote_cap": cap,
             "voting_stage_ms": vote_s * 1e3,
+            "vote_cap": cap,
             "model_points": int(desc.n_points),
             "scene_voxels": nv,
             "scene_voxel_capacity": vox_capacity,

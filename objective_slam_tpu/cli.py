@@ -126,6 +126,16 @@ def main(argv=None) -> int:
     init_logging(args)
     log.info(" ".join(sys.argv if argv is None else ["cli"] + list(argv)))
 
+    # --dev parity (ppf.cu:37-49): pin computation to the chosen device,
+    # clamped like the reference's min(numDevices-1, devUse).
+    import jax
+    devices = jax.devices()
+    dev = min(len(devices) - 1, max(args.dev, 0))
+    log.info("Found %d devices; using device %d (%s)", len(devices), dev,
+             devices[dev])
+    ctx = jax.default_device(devices[dev])
+    ctx.__enter__()
+
     scene_clouds = []
     for f in args.scene_files:
         log.info("Loading scene point cloud: %s", f)

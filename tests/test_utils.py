@@ -170,3 +170,18 @@ def test_trans_adj_sidecar(tmp_path, rng):
     # Applying the recorded adjustment reproduces the stored cloud.
     np.testing.assert_allclose(pts @ T2[:3, :3].T + T2[:3, 3], centered,
                                atol=1e-5)
+
+
+def test_debug_dump_roundtrip(tmp_path, rng):
+    """C6 parity: raw little-endian binary dumps (util.hpp:55-91 format)."""
+    from objective_slam_tpu.utils import debug_dump
+    arr = rng.normal(size=(17, 4)).astype(np.float32)
+    path = tmp_path / "a.bin"
+    debug_dump.dump_array(path, arr)
+    assert path.stat().st_size == 17 * 4 * 4
+    back = debug_dump.load_array(path, np.float32, (17, 4))
+    np.testing.assert_array_equal(back, arr)
+    ints = np.arange(10, dtype=np.int32)
+    debug_dump.dump_array(tmp_path / "i.bin", jnp.asarray(ints))
+    np.testing.assert_array_equal(
+        debug_dump.load_array(tmp_path / "i.bin", np.int32), ints)
