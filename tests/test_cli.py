@@ -136,3 +136,46 @@ def test_cli_reference_engine(scene_fixture, capsys):
     ], capsys)
     assert rc == 0
     assert out.strip() == "1"
+
+
+def test_cli_multi_scene_multi_model(tmp_path, rng, capsys):
+    """2 scenes x 2 models: the validation-file indexing is
+    scene_major (i*len(models)+j, alignment.cpp:305)."""
+    models = []
+    for _ in range(2):
+        mp, mn = synthetic.blob_cloud(rng, 70)
+        models.append((mp, mn))
+    model_paths, scene_paths, truth_paths = [], [], []
+    for j, (mp, mn) in enumerate(models):
+        path = tmp_path / f"model{j}.ply"
+        ply.write_ply(path, mp, mn)
+        model_paths.append(str(path))
+    for i in range(2):
+        # each scene contains BOTH models at different poses
+        sp = sn = None
+        truths = []
+        for mp, mn in models:
+            sp, sn, T = synthetic.plant_model(rng, mp, mn, sp, sn)
+            truths.append(T)
+        path = tmp_path / f"scene{i}.ply"
+        ply.write_ply(path, sp, sn)
+        scene_paths.append(str(path))
+        for j, T in enumerate(truths):
+            tp = tmp_path / f"truth_{i}_{j}.txt"
+            validation.write_truth_file(tp, T)
+            truth_paths.append(str(tp))
+
+    rc = cli.main([
+        "--scene_files", ",".join(scene_paths),
+        "--model_files", ",".join(model_paths),
+        "--tau_d", "0.1,0.1",
+        "--scene_leaf_size", "0.05",
+        "--validation_files", ",".join(truth_paths),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    bits = out.split()
+    assert len(bits) == 4
+    # Planted both models per scene; expect most to match (second model's
+    # points overlap the first's -> allow one miss).
+    assert sum(int(b) for b in bits) >= 3, bits

@@ -159,3 +159,46 @@ def test_fnv1a_int3_bit_parity(rng):
     got = np.asarray(hashing.fnv1a_int3(jnp.asarray(v)))
     for i in range(50):
         assert int(got[i]) == ref.fnv1a_bytes(v[i].tobytes())
+
+
+def test_keys_rigid_invariance(rng):
+    """PPF keys are invariant under a rigid transform applied to the whole
+    cloud (the property that makes Drost matching work); alpha angles shift
+    consistently such that wrap(alpha_s - alpha_m) is preserved."""
+    from objective_slam_tpu.utils import synthetic
+    pts, nrm = random_cloud(rng, 24)
+    q = synthetic.random_rotation_quat(rng)
+    R = synthetic.quat_to_matrix(q)
+    t = rng.normal(size=3).astype(np.float32)
+    pts2 = (pts @ R.T + t).astype(np.float32)
+    nrm2 = (nrm @ R.T).astype(np.float32)
+
+    k1, a1 = ppf.pairwise_ppf_keys(pts, nrm, 0.3, D_ANGLE, 64)
+    k2, a2 = ppf.pairwise_ppf_keys(pts2, nrm2, 0.3, D_ANGLE, 64)
+    k1, k2 = np.asarray(k1), np.asarray(k2)
+    # Keys equal except possibly at quantization boundaries (fp).
+    same = k1 == k2
+    assert same.mean() > 0.97
+    # alpha differences between any two pairs sharing a reference point are
+    # preserved mod 2pi (the voting quantity). Use a per-row base column
+    # that is never the degenerate self pair.
+    a1, a2 = np.asarray(a1), np.asarray(a2)
+    n = a1.shape[0]
+    rows = np.arange(n)
+    base = (rows + 1) % n
+    d1 = a1 - a1[rows, base][:, None]
+    d2 = a2 - a2[rows, base][:, None]
+    mask = ~np.eye(n, dtype=bool)
+    wrap = lambda x: np.angle(np.exp(1j * x))
+    np.testing.assert_allclose(wrap(d1 - d2)[mask], 0, atol=1e-3)
+
+
+def test_keys_translation_invariance(rng):
+    pts, nrm = random_cloud(rng, 16)
+    k1, a1 = ppf.pairwise_ppf_keys(pts, nrm, 0.3, D_ANGLE, 64)
+    k2, a2 = ppf.pairwise_ppf_keys(pts + np.float32(7.5), nrm, 0.3,
+                                   D_ANGLE, 64)
+    # Pure translation: keys AND alphas are bitwise-identical except fp
+    # noise from the shifted coordinates.
+    assert (np.asarray(k1) == np.asarray(k2)).mean() > 0.97
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-3)
