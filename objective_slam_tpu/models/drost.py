@@ -33,13 +33,13 @@ import numpy as np
 
 from objective_slam_tpu.config import PPFConfig
 from objective_slam_tpu.ops import clustering, ppf as ppf_ops, transforms as tr
-from objective_slam_tpu.ops import voting, voting_fast
+from objective_slam_tpu.ops import voting, voting_corr, voting_fast
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["points", "normals", "beta", "gamma", "vote_weights",
-                 "table", "d_dist", "fast_tables"],
+                 "table", "d_dist", "fast_tables", "corr_tables"],
     meta_fields=["n_points", "num_keys", "max_dist_bin", "diameter"])
 @dataclasses.dataclass(frozen=True)
 class ModelDescription:
@@ -58,6 +58,7 @@ class ModelDescription:
     table: voting.KeyTable
     d_dist: jax.Array        # () float32
     fast_tables: object      # voting_fast.FastModelTables | None
+    corr_tables: object      # voting_corr.CorrTables | None
     # --- static metadata (python ints; stable across traces) ---
     n_points: int
     num_keys: int
@@ -101,13 +102,15 @@ def build_model_description(points, normals, config: PPFConfig = PPFConfig(),
     if vote_weights is None:
         vote_weights = jnp.ones((n,), jnp.float32)
     fast_tables = (voting_fast.build_fast_tables(table)
-                   if config.engine == "fast" else None)
+                   if config.engine in ("fast", "correlation") else None)
+    corr_tables = (voting_corr.build_corr_tables(table, n, config.n_angle)
+                   if config.engine == "correlation" else None)
     return ModelDescription(
         points=jnp.asarray(pts), normals=jnp.asarray(nrm),
         beta=beta, gamma=gamma,
         vote_weights=jnp.asarray(vote_weights, jnp.float32),
         table=table, d_dist=jnp.float32(d_dist),
-        fast_tables=fast_tables,
+        fast_tables=fast_tables, corr_tables=corr_tables,
         n_points=n, num_keys=num_keys, max_dist_bin=max_dist_bin,
         diameter=diameter)
 
@@ -146,7 +149,11 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
     s_beta, s_gamma = tr.canonical_angles(s_ref_pts, s_ref_nrm)
 
     # Voting (ComputeUniqueVotes, model.cu:95-171).
-    if config.engine == "fast" and model.fast_tables is not None:
+    if config.engine == "correlation" and model.corr_tables is not None:
+        votes = voting_corr.cast_votes_corr(keys, alpha_s,
+                                            model.corr_tables,
+                                            model.n_points)
+    elif config.engine == "fast" and model.fast_tables is not None:
         votes = voting_fast.cast_votes_fast(
             keys, alpha_s, model.fast_tables, model.n_points,
             config.d_angle, vote_cap)
@@ -240,6 +247,8 @@ def match(model: ModelDescription, scene_points, scene_normals,
     rounds it up to a power of two — never overflows, with at most
     log2-many distinct compilations. Pass an explicit vote_cap for
     fully-static pipelines (and check `result.overflowed`)."""
+    if config.engine == "correlation":
+        vote_cap = 0      # capacity-free engine; skip the count pass
     if vote_cap is None:
         total = int(_count_votes_jit(model, scene_points, scene_normals,
                                      config.ref_point_df, config.d_angle))

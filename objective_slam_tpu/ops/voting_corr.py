@@ -1,0 +1,159 @@
+"""Correlation voting engine — matmul-only Hough voting (approximate α).
+
+The exact engines pay ~10 ns per vote for one indexed lookup (the measured
+floor for ANY indexed access on this TPU). This engine removes per-vote
+work entirely by factoring the accumulator through the key space:
+
+  acc[r, m, a] = Σ_k Σ_b  S3[r, k, b] · M3[k, (b − a + n/2) mod n, m]
+
+where S3 histograms scene pairs per (reference row, occupied model key,
+coarse α_s bin) — ONE scatter-add over scene pairs — and M3 histograms the
+model description per (key, coarse α_m bin, model point) at build time.
+The contraction is a batch of n_angle dense matmuls on the MXU whose cost
+scales with R·K_occ·n_angle·n_m, INDEPENDENT of the vote count — the right
+asymptotics for vote-heavy scenes.
+
+Approximation: the vote's α bin is computed from coarse-binned α_s and α_m
+(bin(α_s)−bin(α_m) instead of bin(α_s−α_m)), which moves votes whose α
+fraction straddles a bin edge by at most ±1 α bin (≈ uniformly-distributed
+half the votes move to a neighbouring bin). Hough peaks blur slightly
+across adjacent α bins; pose recovery is unaffected in practice because
+clustering already merges poses within 2·Δα (ROT_THRESH, kernel.h:17).
+NOT a parity engine — exact tallies come from engine="fast"/"reference".
+
+Matmuls run in f32 (bin counts exceed bf16's 8-bit mantissa range).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from objective_slam_tpu.ops import ppf as ppf_ops
+from objective_slam_tpu.ops import voting as voting_ref
+from objective_slam_tpu.ops import voting_fast as vf
+
+ALPHA_BITS = vf.ALPHA_BITS
+_ALPHA_SCALE = vf._ALPHA_SCALE
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["occ_idx", "m3_dup"],
+                   meta_fields=["k_occ", "n_angle"])
+@dataclasses.dataclass(frozen=True)
+class CorrTables:
+    """Correlation-engine model tables.
+
+    occ_idx — rotation-packed lookup: packed key -> occupied-key rank, or
+              k_occ (sentinel row of zeros in m3) for unoccupied keys.
+    m3_dup  — (k_occ+1, 2·n_angle, n_m) f32: per-key α_m histogram over
+              model points, duplicated along the α axis so every shift is a
+              contiguous slice.
+    """
+    occ_idx: vf.PackedTable
+    m3_dup: jax.Array
+    k_occ: int
+    n_angle: int
+
+
+def build_corr_tables(table: voting_ref.KeyTable, n_model: int,
+                      n_angle: int = 30) -> CorrTables:
+    """Host-side build from the key table (pairs sorted by key)."""
+    counts = np.asarray(table.counts)
+    offsets = np.asarray(table.offsets)
+    pair_mr = np.asarray(table.pair_mr)
+    pair_alpha = np.asarray(table.pair_alpha)
+
+    occ_keys = np.nonzero(counts)[0]
+    k_occ = len(occ_keys)
+    occ_lut = np.full(counts.shape[0], k_occ, np.int32)
+    occ_lut[occ_keys] = np.arange(k_occ, dtype=np.int32)
+
+    # Coarse α_m bins via the same fixed-point quantization as the fast
+    # engine (consistency of bin edges between the two sides).
+    a_fix = np.clip(np.round((pair_alpha.astype(np.float64) + math.pi)
+                             * _ALPHA_SCALE), 0,
+                    (1 << ALPHA_BITS) - 1).astype(np.int64)
+    b_m = ((a_fix * n_angle) >> ALPHA_BITS).astype(np.int64)
+
+    # Which occupied key does each (key-sorted) pair belong to?
+    pair_key_rank = np.repeat(np.arange(k_occ, dtype=np.int64),
+                              counts[occ_keys])
+    n_pairs = pair_key_rank.shape[0]
+    m3 = np.zeros((k_occ + 1, n_angle, n_model), np.float32)
+    np.add.at(m3, (pair_key_rank, b_m[:n_pairs], pair_mr[:n_pairs]), 1.0)
+    m3_dup = np.concatenate([m3, m3], axis=1)        # (k_occ+1, 2n, n_m)
+
+    return CorrTables(
+        occ_idx=vf.pack_table(occ_lut),
+        m3_dup=jnp.asarray(m3_dup),
+        k_occ=k_occ, n_angle=n_angle)
+
+
+def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
+                    n_model: int) -> voting_ref.VoteResult:
+    """Matmul voting: scene histogram scatter + n_angle MXU contractions.
+
+    Returns a VoteResult whose accumulator matches the exact engines up to
+    ±1-α-bin transport (num_votes is exact; overflowed is always False —
+    there is no capacity)."""
+    R, n = scene_keys.shape
+    n_angle = tables.n_angle
+    K1 = tables.k_occ + 1
+    flat_keys = scene_keys.reshape(-1)
+    flat_alpha = scene_alpha.reshape(-1)
+    valid = flat_keys != ppf_ops.INVALID_KEY
+    safe_keys = jnp.where(valid, flat_keys, 0)
+
+    S = R * n
+    S_pad = vf._ceil_to(S, vf.LANES)
+    keys_q = jnp.concatenate(
+        [safe_keys, jnp.zeros((S_pad - S,), jnp.int32)]) \
+        .reshape(-1, vf.LANES)
+    occ = vf.packed_lookup(tables.occ_idx, keys_q).reshape(-1)[:S]
+    occ = jnp.where(valid, occ, tables.k_occ)
+
+    a_fix = jnp.clip(jnp.round((flat_alpha + jnp.float32(math.pi))
+                               * jnp.float32(_ALPHA_SCALE))
+                     .astype(jnp.int32), 0, (1 << ALPHA_BITS) - 1)
+    b_s = (a_fix * n_angle) >> ALPHA_BITS
+
+    r_of_s = jnp.arange(S, dtype=jnp.int32) // n
+    tgt = (r_of_s * K1 + occ) * n_angle + b_s
+    s3 = jnp.zeros((R * K1 * n_angle,), jnp.float32) \
+        .at[tgt].add(jnp.where(valid, 1.0, 0.0)) \
+        .reshape(R, K1, n_angle)
+    # Unoccupied keys (rank k_occ) hit the all-zero m3 row; drop them from
+    # the vote count only (they contribute nothing to the contraction).
+    s3_flat = s3.reshape(R, K1 * n_angle)
+
+    # num_votes (exact, integer — f32 cannot represent counts > 2^24):
+    # Σ_k scene-hits[k] · bucket-size[k].
+    m_tot = jnp.sum(tables.m3_dup[:, :n_angle, :], axis=(1, 2)) \
+        .astype(jnp.int32)                                        # (K1,)
+    s_tot = jnp.sum(s3, axis=2).astype(jnp.int32)                 # (R, K1)
+    num_votes = jnp.sum(s_tot * m_tot[None, :], dtype=jnp.int32)
+
+    # acc[r, m, a] = S3_flat @ m3_dup[:, o_a : o_a+n, :]  with
+    # o_a = (n/2 - a) mod n  (coarse-bin identity: a ≈ b_s − b_m + n/2).
+    half = n_angle // 2
+    cols = []
+    for a in range(n_angle):
+        o_a = (half - a) % n_angle
+        rhs = jax.lax.dynamic_slice_in_dim(tables.m3_dup, o_a, n_angle,
+                                           axis=1)
+        rhs = rhs.reshape(K1 * n_angle, n_model)
+        cols.append(jnp.dot(s3_flat, rhs,
+                            preferred_element_type=jnp.float32))  # (R, n_m)
+    acc = jnp.stack(cols, axis=-1)                                # (R,n_m,n)
+    A = voting_ref.ALPHA_PAD
+    acc = jnp.round(acc).astype(jnp.int32)
+    acc = jnp.pad(acc, ((0, 0), (0, 0), (0, A - n_angle)))
+    return voting_ref.VoteResult(accumulator=acc, num_votes=num_votes,
+                                 overflowed=jnp.asarray(False))

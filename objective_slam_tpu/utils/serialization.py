@@ -73,7 +73,7 @@ def load_model_description(path) -> drost.ModelDescription:
             vote_weights=jnp.asarray(z["vote_weights"]),
             table=table,
             d_dist=jnp.asarray(z["d_dist"]),
-            fast_tables=fast_tables,
+            fast_tables=fast_tables, corr_tables=None,
             n_points=int(meta["n_points"]),
             num_keys=int(meta["num_keys"]),
             max_dist_bin=int(meta["max_dist_bin"]),

@@ -169,3 +169,56 @@ def test_fast_engine_matches_reference_engine(rng):
             # Moves must stay within a (ref, model) row (only the α bin
             # may shift).
             assert (diff.sum(axis=2) == 0).all(), (n_m, mxu)
+
+
+def test_correlation_engine_blurs_within_one_alpha_bin(rng):
+    """The correlation engine's accumulator must match the exact engine up
+    to transport between ADJACENT α bins: per-(ref, model) row totals are
+    identical and every vote lands within ±1 bin (circularly)."""
+    from objective_slam_tpu.ops import voting_corr
+
+    m_pts, m_nrm = small_cloud(rng, 12)
+    s_pts, s_nrm = small_cloud(rng, 14)
+    cfg_c = PPFConfig(engine="correlation")
+    desc = drost.build_model_description(m_pts, m_nrm, cfg_c, d_dist=0.5)
+    exact = drost.match_accumulator_only(desc, s_pts, s_nrm, PPFConfig())
+
+    ref_idx = jnp.arange(0, 14, dtype=jnp.int32)
+    keys, alpha_s = ppf_ops.pairwise_ppf_keys(
+        s_pts, s_nrm, desc.d_dist, PPFConfig().d_angle, desc.max_dist_bin,
+        ref_indices=ref_idx)
+    corr = voting_corr.cast_votes_corr(keys, alpha_s, desc.corr_tables,
+                                       desc.n_points)
+    a_e = np.asarray(exact.accumulator)
+    a_c = np.asarray(corr.accumulator)
+    assert int(corr.num_votes) == int(exact.num_votes)
+    # Row mass preserved.
+    np.testing.assert_array_equal(a_c.sum(axis=2), a_e.sum(axis=2))
+    # Bin 30 of the exact engine maps into the 30-bin circular space.
+    e = a_e[:, :, :31].astype(np.int64).copy()
+    e[:, :, 0] += e[:, :, 30]
+    e = e[:, :, :30]
+    c = a_c[:, :, :30].astype(np.int64)
+    # ±1-bin circular transport feasibility: for every row, the cumulative
+    # mismatch between the two circular histograms never exceeds what
+    # adjacent-bin moves can explain. A simple sufficient check: blurring
+    # both with a [1,1,1] circular kernel makes corr dominate exact.
+    blur = (np.roll(c, 1, axis=2) + c + np.roll(c, -1, axis=2))
+    assert (blur >= e).all()
+    blur_e = (np.roll(e, 1, axis=2) + e + np.roll(e, -1, axis=2))
+    assert (blur_e >= c).all()
+
+
+def test_correlation_engine_recovers_pose(rng):
+    """End-to-end recovery with engine='correlation'."""
+    from objective_slam_tpu.utils import synthetic, validation
+    import objective_slam_tpu as ost
+
+    cfg = PPFConfig(engine="correlation", max_poses=256)
+    mp, mn = synthetic.blob_cloud(rng, 90)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    desc = ost.build_model_description(mp, mn, cfg)
+    res = ost.match(desc, sp, sn, cfg)
+    v = validation.validate_pose(np.asarray(res.pose), T_true,
+                                 desc.diameter, cfg)
+    assert v.match, (v.trans_err, v.rot_err)
