@@ -127,7 +127,7 @@ def main():
                                   capacity=vox_capacity)
         return _match_core(desc, vox.points, vox.normals,
                            ref_point_df=cfg.ref_point_df, vote_cap=cap,
-                           config=cfg)
+                           config=cfg_build)
 
     def voting_stage(raw_p, raw_n):
         vox, keys, alpha = stage_keys(raw_p, raw_n)
