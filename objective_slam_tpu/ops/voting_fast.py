@@ -46,7 +46,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from objective_slam_tpu.ops import ppf as ppf_ops
 from objective_slam_tpu.ops import voting as voting_ref

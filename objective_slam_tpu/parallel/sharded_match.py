@@ -19,7 +19,6 @@ static-capacity caveat as `voting.top_votes`).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -24,7 +24,6 @@ import numpy as np
 
 from objective_slam_tpu.config import PPFConfig
 from objective_slam_tpu.models import drost
-from objective_slam_tpu.utils import pointcloud as pc
 
 log = logging.getLogger("objective_slam_tpu")
 

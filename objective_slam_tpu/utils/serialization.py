@@ -14,7 +14,6 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-from objective_slam_tpu.config import PPFConfig
 from objective_slam_tpu.models import drost
 from objective_slam_tpu.ops import voting, voting_fast
 

@@ -26,7 +26,6 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     from objective_slam_tpu.ops import ppf as ppf_ops
     from objective_slam_tpu.utils import ply
 
