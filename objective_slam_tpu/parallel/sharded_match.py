@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from objective_slam_tpu.config import PPFConfig
 from objective_slam_tpu.models.drost import ModelDescription
 from objective_slam_tpu.ops import clustering, ppf as ppf_ops, transforms as tr
-from objective_slam_tpu.ops import voting, voting_fast
+from objective_slam_tpu.ops import voting, voting_corr, voting_fast
 
 
 class ShardedMatchResult(NamedTuple):
@@ -75,7 +75,11 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
             scene_points, scene_normals, mdl.d_dist, config.d_angle,
             mdl.max_dist_bin, ref_indices=ref_idx)
         keys = jnp.where(pad_mask[:, None], ppf_ops.INVALID_KEY, keys)
-        if config.engine == "fast" and mdl.fast_tables is not None:
+        if config.engine == "correlation" and mdl.corr_tables is not None:
+            votes = voting_corr.cast_votes_corr(keys, alpha_s,
+                                                mdl.corr_tables,
+                                                mdl.n_points)
+        elif config.engine == "fast" and mdl.fast_tables is not None:
             votes = voting_fast.cast_votes_fast(
                 keys, alpha_s, mdl.fast_tables, mdl.n_points,
                 config.d_angle, vote_cap_per_shard)

@@ -65,3 +65,17 @@ def test_sharded_ref_padding(rng):
                                    vote_cap_per_shard=1 << 16)
     multi = matcher(sp, sn)   # R_pad = 24, 4 padded rows
     assert int(single.num_votes) == int(multi.num_votes)
+
+
+def test_sharded_correlation_engine(rng):
+    """Multi-chip matching with the correlation engine."""
+    cfg = PPFConfig(max_poses=256, engine="correlation")
+    mp, mn = synthetic.blob_cloud(rng, 90)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    desc = ost.build_model_description(mp, mn, cfg)
+    matcher = make_sharded_matcher(_mesh(4), desc, cfg, n_scene=len(sp),
+                                   vote_cap_per_shard=1 << 16)
+    res = matcher(sp, sn)
+    v = validation.validate_pose(np.asarray(res.pose), T_true,
+                                 desc.diameter, cfg)
+    assert v.match, (v.trans_err, math.degrees(v.rot_err))
