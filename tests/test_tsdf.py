@@ -53,13 +53,13 @@ def test_weighted_average_multiframe(rng):
 def test_streaming_recognition(rng):
     """Fuse partial views of a scene containing a known model, then
     recognize the model's pose from the fused surface."""
-    cfg = PPFConfig(max_poses=512)
-    mp, mn = synthetic.blob_cloud(rng, 2000)
+    cfg = PPFConfig(max_poses=512, ref_point_df=2)
+    mp, mn = synthetic.blob_cloud(rng, 1500, bumps=0.5)
     sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
 
     vol = tsdf.make_volume(origin=sp.min(axis=0) - 0.3,
                            dims=(40, 40, 40), voxel_size=0.1)
-    rec = tsdf.StreamingRecognizer(vol, cfg, surface_capacity=1024)
+    rec = tsdf.StreamingRecognizer(vol, cfg, surface_capacity=896)
 
     # Build the model description through the SAME sensing pipeline (fuse
     # the model into its own volume, extract its surface) so both sides
@@ -67,16 +67,16 @@ def test_streaming_recognition(rng):
     mvol = tsdf.make_volume(origin=mp.min(axis=0) - 0.3,
                             dims=(40, 40, 40), voxel_size=0.1)
     mvol = tsdf.integrate(mvol, mp, mn)
-    msurf = tsdf.extract_surface(mvol, capacity=384)
+    msurf = tsdf.extract_surface(mvol, capacity=352)
     mpts = np.asarray(msurf.points)[np.asarray(msurf.valid)]
     mnrm = np.asarray(msurf.normals)[np.asarray(msurf.valid)]
     rec.register_model("blob", ost.build_model_description(mpts, mnrm, cfg))
 
-    # Stream the scene in 4 chunks (partial "frames").
+    # Stream the scene in 3 chunks (partial "frames").
     order = rng.permutation(len(sp))
-    for part in np.array_split(order, 4):
+    for part in np.array_split(order, 3):
         rec.integrate_frame(sp[part], sn[part])
-    assert rec.frames == 4
+    assert rec.frames == 3
 
     res = rec.recognize()["blob"]
     v = validation.validate_pose(np.asarray(res.pose), T_true,
