@@ -134,8 +134,11 @@ class FastModelTables(NamedTuple):
 
 
 def build_fast_tables(table: voting_ref.KeyTable,
-                      max_bytes_per_table: int = 512 * 1024 * 1024
-                      ) -> FastModelTables:
+                      max_bytes_per_table: int = 512 * 1024 * 1024,
+                      force_unpacked: bool = False) -> FastModelTables:
+    """force_unpacked exercises the two-lookup fallback paths (used by
+    models with n_points > 1024, bucket counts >= 2^CNT_BITS, or pair
+    arrays >= 2^OFF_BITS) without needing a huge model."""
     def rot_for(n_elems, itemsize):
         rot = DEFAULT_ROT
         while rot > 1 and _ceil_to(n_elems, LANES) * itemsize * rot > \
@@ -152,10 +155,11 @@ def build_fast_tables(table: voting_ref.KeyTable,
     rot_k = rot_for(k, 4)
     rot_p = rot_for(p, 4)
 
-    can_pack_ko = (counts.max(initial=0) < (1 << CNT_BITS) and
+    can_pack_ko = (not force_unpacked and
+                   counts.max(initial=0) < (1 << CNT_BITS) and
                    p < (1 << OFF_BITS))
     n_m = int(pair_mr.max(initial=0)) + 1
-    can_pack_pair = n_m <= (1 << M_BITS)
+    can_pack_pair = (not force_unpacked) and n_m <= (1 << M_BITS)
 
     if can_pack_ko:
         cnt_off = ((offsets.astype(np.uint32) << CNT_BITS)

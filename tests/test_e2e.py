@@ -137,3 +137,27 @@ def test_recovery_with_estimated_normals(rng):
     v = validation.validate_pose(np.asarray(res.pose), T_true,
                                  desc.diameter, cfg)
     assert v.match, (v.trans_err, math.degrees(v.rot_err))
+
+
+def test_model_point_vote_weights(rng):
+    """SetModelPointVoteWeights parity (model.cu:91-93, vote_weight_kernel
+    kernel.cu:766-782): zeroing all weights kills clustered counts; raw
+    counts (thresholding inputs) are unaffected."""
+    # Corrected clustering mode: in parity mode the reference's center-cell
+    # quirk (kernel.cu:684-689) prevents same-cell poses from aggregating,
+    # so weights would be invisible on a clean scene.
+    cfg = PPFConfig(max_poses=128, cluster_center_cell=True)
+    mp, mn = synthetic.blob_cloud(rng, 60)
+    sp, sn, _ = synthetic.plant_model(rng, mp, mn)
+    d1 = ost.build_model_description(mp, mn, cfg)
+    d0 = ost.build_model_description(mp, mn, cfg,
+                                     vote_weights=np.zeros(60, np.float32))
+    r1 = ost.match(d1, sp, sn, cfg)
+    r0 = ost.match(d0, sp, sn, cfg)
+    # Raw counts (thresholding inputs) are weight-independent.
+    np.testing.assert_array_equal(np.asarray(r1.pose_votes),
+                                  np.asarray(r0.pose_votes))
+    # Zero weights zero every clustered count; real weights do not.
+    cc = np.asarray(r0.clustered_counts)[np.asarray(r0.pose_keep)]
+    assert (cc == 0.0).all()
+    assert float(r1.cluster_votes) > 0.0

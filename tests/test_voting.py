@@ -222,3 +222,30 @@ def test_correlation_engine_recovers_pose(rng):
     v = validation.validate_pose(np.asarray(res.pose), T_true,
                                  desc.diameter, cfg)
     assert v.match, (v.trans_err, v.rot_err)
+
+
+def test_fast_engine_unpacked_fallback(rng):
+    """The two-lookup fallback tables (large models / big buckets) must
+    produce the same accumulator as the packed single-lookup path."""
+    from objective_slam_tpu.ops import voting_fast
+
+    m_pts, m_nrm = small_cloud(rng, 11)
+    s_pts, s_nrm = small_cloud(rng, 13)
+    cfg = PPFConfig()
+    desc = drost.build_model_description(m_pts, m_nrm, cfg, d_dist=0.5)
+    unpacked = voting_fast.build_fast_tables(desc.table,
+                                             force_unpacked=True)
+    assert unpacked.pair_packed is None and unpacked.cnt_off is None
+
+    ref_idx = jnp.arange(0, 13, dtype=jnp.int32)
+    keys, alpha_s = ppf_ops.pairwise_ppf_keys(
+        s_pts, s_nrm, desc.d_dist, cfg.d_angle, desc.max_dist_bin,
+        ref_indices=ref_idx)
+    cap = 1 << 18
+    a = voting_fast.cast_votes_fast(keys, alpha_s, desc.fast_tables,
+                                    desc.n_points, cfg.d_angle, cap)
+    b = voting_fast.cast_votes_fast(keys, alpha_s, unpacked,
+                                    desc.n_points, cfg.d_angle, cap)
+    assert int(a.num_votes) == int(b.num_votes)
+    np.testing.assert_array_equal(np.asarray(a.accumulator),
+                                  np.asarray(b.accumulator))
