@@ -92,7 +92,7 @@ def main():
     # Reference protocol: scene leaf comparable to the model's d_dist
     # (alignment.cpp uses scene_leaf_size 10 vs chef d_dist 13.6).
     scene_leaf = d_dist
-    vox_capacity = 4096
+    vox_capacity = 2304
     nv = int(pc.voxel_downsample(scene_raw, scene_nrm_raw, scene_leaf,
                                  capacity=100_000).num_voxels)
     assert nv <= vox_capacity, (nv, vox_capacity)
