@@ -92,10 +92,11 @@ def main():
     # Reference protocol: scene leaf comparable to the model's d_dist
     # (alignment.cpp uses scene_leaf_size 10 vs chef d_dist 13.6).
     scene_leaf = d_dist
-    vox_capacity = 2304
     nv = int(pc.voxel_downsample(scene_raw, scene_nrm_raw, scene_leaf,
                                  capacity=100_000).num_voxels)
-    assert nv <= vox_capacity, (nv, vox_capacity)
+    # Static capacity sized to the actual occupancy (+2%, lane-aligned):
+    # padding columns inflate every S-proportional voting stage.
+    vox_capacity = ((int(nv * 1.02) + 127) // 128) * 128
 
     ref_idx = jnp.arange(0, vox_capacity, cfg.ref_point_df, dtype=jnp.int32)
 
