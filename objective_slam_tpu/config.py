@@ -46,6 +46,11 @@ class PPFConfig:
         this fraction of the model diameter (alignment.cpp:141-142).
       validation_rotation_threshold_deg: match iff rotation error (rad) below
         this many degrees (alignment.cpp:143-144, default 12°).
+      rescore_poses: if True, re-rank the threshold-surviving candidate
+        poses by geometric inlier score (fraction of model points within
+        d_dist of a scene point) and pick the best — a standard PPF
+        verification stage absent from the reference; fixes Hough-peak
+        aliasing for near-symmetric models (ops/verify_pose.py).
       engine: voting engine. "fast" = gather-free sublane-tga + MXU tally
         (ops/voting_fast.py, the TPU-native hot path); "reference" = the
         simple expansion engine (ops/voting.py, readable twin used for
@@ -53,6 +58,7 @@ class PPFConfig:
     """
 
     engine: str = "fast"
+    rescore_poses: bool = False
     n_angle: int = 30
     tau_d: float = 0.1
     ref_point_df: int = 1

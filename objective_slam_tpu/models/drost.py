@@ -33,7 +33,7 @@ import numpy as np
 
 from objective_slam_tpu.config import PPFConfig
 from objective_slam_tpu.ops import clustering, ppf as ppf_ops, transforms as tr
-from objective_slam_tpu.ops import voting, voting_corr, voting_fast
+from objective_slam_tpu.ops import verify_pose, voting, voting_corr, voting_fast
 
 
 @functools.partial(
@@ -185,8 +185,19 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
         include_center_cell=config.cluster_center_cell,
         use_l1_norm=config.use_l1_norm,
         use_averaged_clusters=config.use_averaged_clusters)
-    win = jnp.argmax(cl.vote_counts)
-    pose = poses[win].at[:3, 3].set(cl.translations[win])
+    if config.rescore_poses:
+        # Geometric verification (ops/verify_pose.py): winner = the
+        # threshold survivor explaining the most model points, using the
+        # cluster-averaged translations.
+        cand = poses.at[:, :3, 3].set(cl.translations)
+        scores = verify_pose.inlier_scores(
+            cand, top.keep, model.points, scene_points, model.d_dist,
+            model_normals=model.normals, scene_normals=scene_normals)
+        win = jnp.argmax(scores)
+        pose = cand[win]
+    else:
+        win = jnp.argmax(cl.vote_counts)
+        pose = poses[win].at[:3, 3].set(cl.translations[win])
 
     return MatchResult(
         pose=pose, cluster_votes=cl.vote_counts[win],

@@ -29,7 +29,12 @@ class ValidationResult(NamedTuple):
 
 def validate_pose(pose, truth, model_diameter: float,
                   config: PPFConfig = PPFConfig()) -> ValidationResult:
-    """Apply the reference match criteria (alignment.cpp:317-332)."""
+    """Apply the reference match criteria (alignment.cpp:317-332).
+
+    Caveat (shared with the reference): models with rotational symmetries
+    have a family of correct poses; comparing against a single ground-truth
+    matrix can reject a correct detection. Evaluate symmetric models
+    against the full symmetry orbit of the truth."""
     td, rd = tr.ht_dist(np.asarray(pose, np.float32),
                         np.asarray(truth, np.float32))
     td = float(td)

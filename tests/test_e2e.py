@@ -161,3 +161,31 @@ def test_model_point_vote_weights(rng):
     cc = np.asarray(r0.clustered_counts)[np.asarray(r0.pose_keep)]
     assert (cc == 0.0).all()
     assert float(r1.cluster_votes) > 0.0
+
+
+def test_rescoring_with_distractors(rng):
+    """Recovery among curved distractor objects with geometric rescoring
+    enabled (the TPU-scale flip case lives in the benchmark; this guards
+    the rescoring path end-to-end on CPU)."""
+    base = dict(max_poses=512, engine="correlation")
+    mp, mn = synthetic.blob_cloud(rng, 150, bumps=0.25)   # weak features
+    dp1, dn1 = synthetic.blob_cloud(rng, 80, bumps=0.3)
+    dp2, dn2 = synthetic.blob_cloud(rng, 80, bumps=0.3)
+    clutter_p = np.concatenate([dp1 * 1.2 + np.array([3.0, 0, 0]),
+                                dp2 * 0.9 + np.array([0, 3.0, 0])])
+    clutter_n = np.concatenate([dn1, dn2]).astype(np.float32)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn,
+                                           clutter_p.astype(np.float32),
+                                           clutter_n)
+    cfg = PPFConfig(rescore_poses=True, **base)
+    desc = ost.build_model_description(mp, mn, cfg)
+    res = ost.match(desc, sp, sn, cfg)
+    v = validation.validate_pose(np.asarray(res.pose), T_true,
+                                 desc.diameter, cfg)
+    assert v.match, (v.trans_err, math.degrees(v.rot_err))
+
+
+def test_rescoring_preserves_easy_recovery(rng):
+    cfg = PPFConfig(max_poses=256, rescore_poses=True)
+    desc, res, T_true = _recover(rng, cfg)
+    _check(desc, res, T_true, cfg)
