@@ -78,8 +78,17 @@ def configure_options(argv=None) -> argparse.Namespace:
                         "a PLY lacks them")
     p.add_argument("--max_poses", type=int, default=1024)
     p.add_argument("--engine", type=str, default="fast",
-                   choices=["fast", "reference"],
+                   choices=["fast", "reference", "correlation"],
                    help="voting engine (see PPFConfig.engine)")
+    p.add_argument("--rescore_poses", type=lambda s: s.lower() == "true",
+                   default=False,
+                   help="re-rank threshold survivors by geometric inlier "
+                        "score (extension; see PPFConfig.rescore_poses)")
+    p.add_argument("--cluster_center_cell",
+                   type=lambda s: s.lower() == "true", default=False,
+                   help="include a pose's own translation cell in its "
+                        "cluster neighborhood (True = corrected mode; False "
+                        "= reference quirk, kernel.cu:684-689)")
     p.add_argument("--icp_iterations", type=int, default=0,
                    help="if >0, refine each pose with this many ICP "
                         "iterations (extension; not in the reference)")
@@ -132,9 +141,11 @@ def main(argv=None) -> int:
     dev = min(len(devices) - 1, max(args.dev, 0))
     log.info("Found %d devices; using device %d (%s)", len(devices), dev,
              devices[dev])
-    ctx = jax.default_device(devices[dev])
-    ctx.__enter__()
+    with jax.default_device(devices[dev]):
+        return _run(args)
 
+
+def _run(args) -> int:
     scene_clouds = []
     for f in args.scene_files:
         log.info("Loading scene point cloud: %s", f)
@@ -179,7 +190,9 @@ def main(argv=None) -> int:
         validation_rotation_threshold_deg=args.validation_rotation_threshold,
         scene_leaf_size=args.scene_leaf_size,
         max_poses=args.max_poses,
-        engine=args.engine)
+        engine=args.engine,
+        rescore_poses=args.rescore_poses,
+        cluster_center_cell=args.cluster_center_cell)
 
     out = ppf_registration(ds_scenes, ds_models, model_d_dists, cfg,
                            cpu_clustering=args.cpu_clustering)
@@ -227,32 +240,46 @@ def main(argv=None) -> int:
 def _export_visualization(args, scenes, models, poses) -> None:
     """No-window visualization: write a combined colored PLY (and a PNG if
     matplotlib is available) — replaces the PCLVisualizer loop
-    (alignment.cpp:337-396)."""
+    (alignment.cpp:337-396). --show_normals (the viewer's normals overlay,
+    alignment.cpp:354-360) writes nx/ny/nz vertex properties into the PLY
+    and draws a quiver subsample in the PNG."""
     colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
               (0, 255, 255), (255, 0, 255), (255, 255, 0)]
-    all_pts, all_cols = [], []
-    for sp, _ in scenes:
+    all_pts, all_nrm, all_cols = [], [], []
+    for sp, sn in scenes:
         all_pts.append(sp)
+        all_nrm.append(sn)
         all_cols.append(np.full((len(sp), 3), 255, np.uint8))
     for i in range(len(scenes)):
         for j, (mp, mn) in enumerate(models):
             T = poses[i][j]
             moved = mp @ T[:3, :3].T + T[:3, 3]
             all_pts.append(moved.astype(np.float32))
+            all_nrm.append((mn @ T[:3, :3].T).astype(np.float32))
             c = colors[(i * len(models) + j) % len(colors)]
             all_cols.append(np.tile(np.asarray(c, np.uint8), (len(mp), 1)))
     pts = np.concatenate(all_pts)
+    nrm = np.concatenate(all_nrm)
     cols = np.concatenate(all_cols)
     out_ply = args.visualize_out + ".ply"
+    nrm_props = ("property float nx\nproperty float ny\nproperty float nz\n"
+                 if args.show_normals else "")
     with open(out_ply, "wb") as f:
         header = ("ply\nformat binary_little_endian 1.0\n"
                   f"element vertex {len(pts)}\n"
                   "property float x\nproperty float y\nproperty float z\n"
+                  + nrm_props +
                   "property uchar red\nproperty uchar green\n"
                   "property uchar blue\nend_header\n")
         f.write(header.encode())
-        rec = np.empty(len(pts), dtype=[("p", "<f4", (3,)),
-                                        ("c", "u1", (3,))])
+        if args.show_normals:
+            rec = np.empty(len(pts), dtype=[("p", "<f4", (3,)),
+                                            ("n", "<f4", (3,)),
+                                            ("c", "u1", (3,))])
+            rec["n"] = nrm
+        else:
+            rec = np.empty(len(pts), dtype=[("p", "<f4", (3,)),
+                                            ("c", "u1", (3,))])
         rec["p"] = pts
         rec["c"] = cols
         f.write(rec.tobytes())
@@ -266,6 +293,16 @@ def _export_visualization(args, scenes, models, poses) -> None:
         step = max(1, len(pts) // 20000)
         ax.scatter(pts[::step, 0], pts[::step, 1], pts[::step, 2],
                    c=cols[::step] / 255.0, s=1)
+        if args.show_normals:
+            # Quiver a sparse subsample, scaled to ~2% of the scene extent
+            # (the PCLVisualizer overlay draws every 10th normal at level
+            # 0.02, alignment.cpp:354-360).
+            qstep = max(1, len(pts) // 2000)
+            extent = float(np.ptp(pts, axis=0).max())
+            ax.quiver(pts[::qstep, 0], pts[::qstep, 1], pts[::qstep, 2],
+                      nrm[::qstep, 0], nrm[::qstep, 1], nrm[::qstep, 2],
+                      length=0.02 * extent, normalize=True,
+                      color="gray", linewidth=0.3)
         fig.savefig(args.visualize_out + ".png", dpi=120)
         log.info("visualization written: %s.png", args.visualize_out)
     except Exception as e:  # matplotlib optional

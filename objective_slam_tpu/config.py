@@ -54,7 +54,11 @@ class PPFConfig:
       engine: voting engine. "fast" = gather-free sublane-tga + MXU tally
         (ops/voting_fast.py, the TPU-native hot path); "reference" = the
         simple expansion engine (ops/voting.py, readable twin used for
-        golden-testing). Identical tallies.
+        golden-testing). Tallies are identical up to fixed-point α-bin
+        boundary moves (< 0.5% of votes; bin 30 at exactly α=π wraps to 0 —
+        PARITY.md §9). "correlation" = matmul-only Hough voting
+        (ops/voting_corr.py) whose cost is independent of the vote count;
+        approximate (±1 α-bin transport, PARITY.md §10).
     """
 
     engine: str = "fast"

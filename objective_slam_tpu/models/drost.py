@@ -128,6 +128,9 @@ class MatchResult(NamedTuple):
     pose_keep: jax.Array      # (max_poses,) threshold survivors mask
     clustered_counts: jax.Array  # (max_poses,) clustered weighted counts
     accumulator: jax.Array    # (R, n_m, 32) dense tallies (diagnostics)
+    topk_saturated: jax.Array  # () bool: threshold survivors may exceed the
+                               # static max_poses/block coverage — raise
+                               # max_poses (voting.top_votes exactness flag)
 
 
 def _match_core(model: ModelDescription, scene_points, scene_normals,
@@ -148,12 +151,21 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
     s_ref_nrm = scene_normals[ref_idx]
     s_beta, s_gamma = tr.canonical_angles(s_ref_pts, s_ref_nrm)
 
-    # Voting (ComputeUniqueVotes, model.cu:95-171).
-    if config.engine == "correlation" and model.corr_tables is not None:
+    # Voting (ComputeUniqueVotes, model.cu:95-171). Missing engine tables
+    # raise at trace time instead of silently degrading (a correlation
+    # config with corr_tables=None and vote_cap=0 would otherwise produce
+    # an all-zero accumulator and a garbage pose).
+    if config.engine == "correlation":
+        if model.corr_tables is None:
+            raise ValueError("engine='correlation' but model.corr_tables is "
+                             "None — rebuild tables for this engine")
         votes = voting_corr.cast_votes_corr(keys, alpha_s,
                                             model.corr_tables,
                                             model.n_points)
-    elif config.engine == "fast" and model.fast_tables is not None:
+    elif config.engine == "fast":
+        if model.fast_tables is None:
+            raise ValueError("engine='fast' but model.fast_tables is None — "
+                             "rebuild tables for this engine")
         votes = voting_fast.cast_votes_fast(
             keys, alpha_s, model.fast_tables, model.n_points,
             config.d_angle, vote_cap)
@@ -204,7 +216,8 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
         num_votes=votes.num_votes, overflowed=votes.overflowed,
         poses=poses, pose_votes=top.counts, pose_keep=top.keep,
         clustered_counts=cl.vote_counts,
-        accumulator=votes.accumulator)
+        accumulator=votes.accumulator,
+        topk_saturated=top.saturated)
 
 
 @functools.partial(jax.jit,
@@ -217,21 +230,31 @@ def _match_jit(model, scene_points, scene_normals, ref_point_df, vote_cap,
 
 
 @functools.partial(jax.jit, static_argnames=("ref_point_df", "d_angle"))
-def _count_votes_jit(model, scene_points, scene_normals, ref_point_df,
-                     d_angle):
-    """Cheap exact vote count (the reference's count/scan phase,
-    model.cu:99-121) used to size the static expansion buffer."""
+def _count_votes_rows_jit(model, scene_points, scene_normals, ref_point_df,
+                          d_angle):
+    """Per-reference-row exact vote counts (the reference's count/scan
+    phase, model.cu:99-121) used to size the static expansion buffer.
+
+    Returns (R,) int32 row sums; each row is bounded by n_s x max bucket
+    count (< 2^31 for any realistic cloud), so the rows are exact even with
+    x64 disabled — the total is summed on host in int64 (a >2^31 grand
+    total is plausible at full-res 100k scenes with ref_df=1)."""
     scene_points = jnp.asarray(scene_points, jnp.float32)
     n_s = scene_points.shape[0]
     ref_idx = jnp.arange(0, n_s, ref_point_df, dtype=jnp.int32)
     keys, _ = ppf_ops.pairwise_ppf_keys(
         scene_points, jnp.asarray(scene_normals, jnp.float32), model.d_dist,
         d_angle, model.max_dist_bin, ref_indices=ref_idx)
-    flat = keys.reshape(-1)
-    valid = flat != ppf_ops.INVALID_KEY
-    cnt = jnp.where(valid, model.table.counts[jnp.where(valid, flat, 0)], 0)
-    return jnp.sum(cnt, dtype=jnp.int64 if jax.config.jax_enable_x64
-                   else jnp.int32)
+    valid = keys != ppf_ops.INVALID_KEY
+    cnt = jnp.where(valid, model.table.counts[jnp.where(valid, keys, 0)], 0)
+    return jnp.sum(cnt, axis=1, dtype=jnp.int32)
+
+
+def _count_votes(model, scene_points, scene_normals, ref_point_df,
+                 d_angle) -> int:
+    rows = _count_votes_rows_jit(model, scene_points, scene_normals,
+                                 ref_point_df, d_angle)
+    return int(np.asarray(rows, dtype=np.int64).sum())
 
 
 def _next_cap(x: int) -> int:
@@ -259,10 +282,19 @@ def match(model: ModelDescription, scene_points, scene_normals,
     log2-many distinct compilations. Pass an explicit vote_cap for
     fully-static pipelines (and check `result.overflowed`)."""
     if config.engine == "correlation":
+        if model.corr_tables is None:
+            raise ValueError(
+                "engine='correlation' requires corr_tables; build the model "
+                "description with a correlation config (or rebuild tables "
+                "after serialization.load_model_description)")
         vote_cap = 0      # capacity-free engine; skip the count pass
+    elif config.engine == "fast" and model.fast_tables is None:
+        raise ValueError(
+            "engine='fast' requires fast_tables; build the model "
+            "description with a fast/correlation config")
     if vote_cap is None:
-        total = int(_count_votes_jit(model, scene_points, scene_normals,
-                                     config.ref_point_df, config.d_angle))
+        total = _count_votes(model, scene_points, scene_normals,
+                             config.ref_point_df, config.d_angle)
         if config.engine == "fast":
             # Row-aligned padding in the fast tally consumes up to one
             # chunk per reference row.
@@ -283,9 +315,9 @@ def match_accumulator_only(model: ModelDescription, scene_points,
     scene_normals = jnp.asarray(scene_normals, jnp.float32)
     n_s = scene_points.shape[0]
     if vote_cap is None:
-        vote_cap = _next_cap(int(_count_votes_jit(
+        vote_cap = _next_cap(_count_votes(
             model, scene_points, scene_normals, config.ref_point_df,
-            config.d_angle)))
+            config.d_angle))
     ref_idx = jnp.arange(0, n_s, config.ref_point_df, dtype=jnp.int32)
     keys, alpha_s = ppf_ops.pairwise_ppf_keys(
         scene_points, scene_normals, model.d_dist, config.d_angle,

@@ -173,7 +173,12 @@ def pairwise_ppf_keys(points, normals, d_dist, d_angle, max_dist_bin,
     a3 = jnp.round(quant_downf(f4, d_angle) / d_angle).astype(jnp.int32)
 
     key = ((dist_bin * ANGLE_BINS + a1) * ANGLE_BINS + a2) * ANGLE_BINS + a3
-    valid = (dist > 0) & (dist_bin <= max_dist_bin)
+    # dist_bin >= 0 guards pad-sentinel points (e.g. voxel _PAD_OFFSET) whose
+    # huge dist/d_dist quotient overflows the int cast: int32 saturation to
+    # INT_MAX happens to stay invalid via <= max_dist_bin, but the sign of
+    # float->int overflow is implementation-defined — make invalidity
+    # structural on every backend.
+    valid = (dist > 0) & (dist_bin >= 0) & (dist_bin <= max_dist_bin)
     # Self-pair exclusion by index (kernel.cu:438-441).
     self_pair = ref_indices[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
     keys = jnp.where(valid & ~self_pair, key, INVALID_KEY)

@@ -132,7 +132,8 @@ def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
     s3_flat = s3.reshape(R, K1 * n_angle)
 
     # num_votes (exact, integer — f32 cannot represent counts > 2^24):
-    # Σ_k scene-hits[k] · bucket-size[k].
+    # Σ_k scene-hits[k] · bucket-size[k]. int32-exact up to 2^31 total
+    # votes; informational only (this engine sizes no capacity from it).
     m_tot = jnp.sum(tables.m3_dup[:, :n_angle, :], axis=(1, 2)) \
         .astype(jnp.int32)                                        # (K1,)
     s_tot = jnp.sum(s3, axis=2).astype(jnp.int32)                 # (R, K1)

@@ -372,9 +372,11 @@ def _mxu_tally(m_r, a_bin, vote_ok, r_of_chunk_start, R, n_model, chunk,
                            batch_size=8)                        # (n_chunks, m_pad, A)
 
     # Per-row combine: rows own contiguous chunk ranges
-    # [row_start_p[r]/chunk, row_start_p[r+1]/chunk).
-    cum = jnp.cumsum(partials, axis=0, dtype=jnp.float32)
-    cum = jnp.concatenate([jnp.zeros((1, m_pad, A), jnp.float32), cum],
+    # [row_start_p[r]/chunk, row_start_p[r+1]/chunk). Each f32 partial is an
+    # exact integer <= chunk (8192), but the cumsum ACROSS chunks can pass
+    # 2^24 per cell for vote-heavy symmetric models — combine in int32.
+    cum = jnp.cumsum(jnp.round(partials).astype(jnp.int32), axis=0)
+    cum = jnp.concatenate([jnp.zeros((1, m_pad, A), jnp.int32), cum],
                           axis=0)                               # (n_chunks+1,...)
     row_chunk_start = jnp.clip(r_of_chunk_start // chunk, 0, n_chunks)
     row_chunk_end = jnp.concatenate([
@@ -382,7 +384,7 @@ def _mxu_tally(m_r, a_bin, vote_ok, r_of_chunk_start, R, n_model, chunk,
         jnp.full((1,), n_chunks, jnp.int32)])
     row_chunk_end = jnp.clip(row_chunk_end, 0, n_chunks)
     acc = cum[row_chunk_end] - cum[row_chunk_start]             # (R, m_pad, A)
-    return jnp.round(acc[:, :n_model, :]).astype(jnp.int32)
+    return acc[:, :n_model, :]
 
 
 def _pallas_tally(m_r, a_bin, vote_ok, r_of_chunk_start, row_tot, R,
@@ -430,11 +432,13 @@ def _pallas_tally(m_r, a_bin, vote_ok, r_of_chunk_start, row_tot, R,
         out_shape=jax.ShapeDtypeStruct((n_chunks, m_pad, A), jnp.float32),
     )(mv, av, okv)
 
-    cum = jnp.cumsum(partials, axis=0, dtype=jnp.float32)
-    cum = jnp.concatenate([jnp.zeros((1, m_pad, A), jnp.float32), cum],
+    # int32 chunk-combine: per-chunk partials are exact ints <= chunk, but
+    # the cross-chunk cumsum can exceed 2^24 per cell (f32 exactness bound).
+    cum = jnp.cumsum(jnp.round(partials).astype(jnp.int32), axis=0)
+    cum = jnp.concatenate([jnp.zeros((1, m_pad, A), jnp.int32), cum],
                           axis=0)
     row_chunk_start = jnp.clip(r_of_chunk_start // chunk, 0, n_chunks)
     row_chunk_end = jnp.concatenate([
         row_chunk_start[1:], jnp.full((1,), n_chunks, jnp.int32)])
     acc = cum[jnp.clip(row_chunk_end, 0, n_chunks)] - cum[row_chunk_start]
-    return jnp.round(acc[:, :n_model, :]).astype(jnp.int32)
+    return acc[:, :n_model, :]

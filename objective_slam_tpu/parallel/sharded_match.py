@@ -75,11 +75,17 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
             scene_points, scene_normals, mdl.d_dist, config.d_angle,
             mdl.max_dist_bin, ref_indices=ref_idx)
         keys = jnp.where(pad_mask[:, None], ppf_ops.INVALID_KEY, keys)
-        if config.engine == "correlation" and mdl.corr_tables is not None:
+        if config.engine == "correlation":
+            if mdl.corr_tables is None:
+                raise ValueError("engine='correlation' but corr_tables is "
+                                 "None — rebuild tables for this engine")
             votes = voting_corr.cast_votes_corr(keys, alpha_s,
                                                 mdl.corr_tables,
                                                 mdl.n_points)
-        elif config.engine == "fast" and mdl.fast_tables is not None:
+        elif config.engine == "fast":
+            if mdl.fast_tables is None:
+                raise ValueError("engine='fast' but fast_tables is None — "
+                                 "rebuild tables for this engine")
             votes = voting_fast.cast_votes_fast(
                 keys, alpha_s, mdl.fast_tables, mdl.n_points,
                 config.d_angle, vote_cap_per_shard)

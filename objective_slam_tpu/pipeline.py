@@ -74,6 +74,10 @@ def ppf_registration(scene_clouds: Sequence[tuple[np.ndarray, np.ndarray]],
                 if bool(res.overflowed):
                     log.warning("scene %d model %d: vote buffer overflow",
                                 si, mi)
+                if bool(res.topk_saturated):
+                    log.warning("scene %d model %d: top-k saturated — "
+                                "threshold survivors may exceed max_poses; "
+                                "raise --max_poses", si, mi)
                 log.info("scene %d model %d: votes=%d winner_votes=%.1f",
                          si, mi, int(res.num_votes),
                          float(res.cluster_votes))

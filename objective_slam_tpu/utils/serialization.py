@@ -15,14 +15,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from objective_slam_tpu.models import drost
-from objective_slam_tpu.ops import voting, voting_fast
+from objective_slam_tpu.ops import voting, voting_corr, voting_fast
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_model_description(path, desc: drost.ModelDescription) -> None:
-    """Write a ModelDescription to an .npz file (fast tables are rebuilt on
-    load — they are a pure re-layout of the key table)."""
+    """Write a ModelDescription to an .npz file (fast/correlation tables are
+    rebuilt on load — both are pure re-layouts of the key table)."""
     meta = {
         "format_version": _FORMAT_VERSION,
         "n_points": desc.n_points,
@@ -30,6 +30,9 @@ def save_model_description(path, desc: drost.ModelDescription) -> None:
         "max_dist_bin": desc.max_dist_bin,
         "diameter": desc.diameter,
         "has_fast_tables": desc.fast_tables is not None,
+        "has_corr_tables": desc.corr_tables is not None,
+        "corr_n_angle": (desc.corr_tables.n_angle
+                         if desc.corr_tables is not None else None),
     }
     np.savez_compressed(
         path,
@@ -51,7 +54,7 @@ def save_model_description(path, desc: drost.ModelDescription) -> None:
 def load_model_description(path) -> drost.ModelDescription:
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
-        if meta["format_version"] != _FORMAT_VERSION:
+        if meta["format_version"] not in (1, _FORMAT_VERSION):
             raise ValueError(
                 f"unsupported model description version "
                 f"{meta['format_version']}")
@@ -64,6 +67,14 @@ def load_model_description(path) -> drost.ModelDescription:
         )
         fast_tables = (voting_fast.build_fast_tables(table)
                        if meta["has_fast_tables"] else None)
+        # Rebuild correlation tables when the saved model carried them
+        # (format v2+); like fast_tables they are a pure re-layout of the
+        # key table, so a loaded model runs every engine it was built for.
+        corr_tables = None
+        if meta.get("has_corr_tables", False):
+            corr_tables = voting_corr.build_corr_tables(
+                table, int(meta["n_points"]),
+                n_angle=int(meta["corr_n_angle"]))
         return drost.ModelDescription(
             points=jnp.asarray(z["points"]),
             normals=jnp.asarray(z["normals"]),
@@ -72,7 +83,7 @@ def load_model_description(path) -> drost.ModelDescription:
             vote_weights=jnp.asarray(z["vote_weights"]),
             table=table,
             d_dist=jnp.asarray(z["d_dist"]),
-            fast_tables=fast_tables, corr_tables=None,
+            fast_tables=fast_tables, corr_tables=corr_tables,
             n_points=int(meta["n_points"]),
             num_keys=int(meta["num_keys"]),
             max_dist_bin=int(meta["max_dist_bin"]),

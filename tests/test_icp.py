@@ -86,3 +86,33 @@ def test_model_description_roundtrip(tmp_path, rng):
                                   np.asarray(r2.accumulator))
     np.testing.assert_allclose(np.asarray(r1.pose), np.asarray(r2.pose),
                                atol=0)
+
+
+def test_correlation_roundtrip(tmp_path, rng):
+    """A saved-then-loaded model built for the correlation engine must run
+    that engine (ADVICE r1: corr_tables were dropped on load, silently
+    yielding an all-zero accumulator)."""
+    import pytest
+
+    cfg = PPFConfig(max_poses=128, engine="correlation")
+    mp, mn = synthetic.blob_cloud(rng, 80)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    desc = ost.build_model_description(mp, mn, cfg)
+    assert desc.corr_tables is not None
+    path = tmp_path / "model_corr.osn.npz"
+    serialization.save_model_description(path, desc)
+    desc2 = serialization.load_model_description(path)
+    assert desc2.corr_tables is not None
+    r1 = ost.match(desc, sp, sn, cfg)
+    r2 = ost.match(desc2, sp, sn, cfg)
+    np.testing.assert_array_equal(np.asarray(r1.accumulator),
+                                  np.asarray(r2.accumulator))
+    td, rd = (float(x) for x in tr.ht_dist(np.asarray(r2.pose), T_true))
+    assert td < 0.1 * desc.diameter
+    assert rd < math.radians(12)
+    # A model built WITHOUT corr tables must refuse the correlation engine
+    # rather than silently degrade.
+    desc_fast = ost.build_model_description(
+        mp, mn, PPFConfig(max_poses=128, engine="fast"))
+    with pytest.raises(ValueError, match="corr_tables"):
+        ost.match(desc_fast, sp, sn, cfg)
