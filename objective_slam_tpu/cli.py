@@ -192,23 +192,12 @@ def _run(args) -> int:
         max_poses=args.max_poses,
         engine=args.engine,
         rescore_poses=args.rescore_poses,
-        cluster_center_cell=args.cluster_center_cell)
+        cluster_center_cell=args.cluster_center_cell,
+        refine_icp=args.icp_iterations > 0,
+        icp_iterations=max(args.icp_iterations, 1))
 
     out = ppf_registration(ds_scenes, ds_models, model_d_dists, cfg,
                            cpu_clustering=args.cpu_clustering)
-
-    if args.icp_iterations > 0:
-        from objective_slam_tpu.ops import icp
-        import numpy as _np
-        for i, (sp, sn) in enumerate(ds_scenes):
-            for j, (mp2, mn2) in enumerate(ds_models):
-                refined = icp.refine_pose(
-                    mp2, sp, out.poses[i][j],
-                    iterations=args.icp_iterations,
-                    max_dist=2.0 * model_d_dists[j])
-                out.poses[i][j] = _np.asarray(refined.pose)
-                log.info("ICP scene %d model %d: rms=%.5f inliers=%d",
-                         i, j, float(refined.rms), int(refined.inliers))
 
     if args.validation_files:
         for i in range(len(ds_scenes)):

@@ -46,6 +46,14 @@ class PPFConfig:
         this fraction of the model diameter (alignment.cpp:141-142).
       validation_rotation_threshold_deg: match iff rotation error (rad) below
         this many degrees (alignment.cpp:143-144, default 12°).
+      refine_icp: if True, refine the winning pose with point-to-point ICP
+        (ops/icp.py, batched Kabsch on the MXU) inside the jitted match —
+        the Drost winner's rotation error is bounded by the 2π/30 α
+        quantization (~±6°); ICP takes it to the noise floor. Extension:
+        the reference stops at the clustered winner (model.cu:293-295).
+      icp_iterations: fixed ICP iteration count (static shape).
+      icp_max_dist_factor: ICP correspondence rejection radius as a
+        multiple of d_dist.
       rescore_poses: if True, re-rank the threshold-surviving candidate
         poses by geometric inlier score (fraction of model points within
         d_dist of a scene point) and pick the best — a standard PPF
@@ -63,6 +71,9 @@ class PPFConfig:
 
     engine: str = "fast"
     rescore_poses: bool = False
+    refine_icp: bool = False
+    icp_iterations: int = 12
+    icp_max_dist_factor: float = 2.0
     n_angle: int = 30
     tau_d: float = 0.1
     ref_point_df: int = 1

@@ -32,8 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from objective_slam_tpu.config import PPFConfig
-from objective_slam_tpu.ops import clustering, ppf as ppf_ops, transforms as tr
-from objective_slam_tpu.ops import verify_pose, voting, voting_corr, voting_fast
+from objective_slam_tpu.ops import (clustering, icp, ppf as ppf_ops,
+                                    transforms as tr)
+from objective_slam_tpu.ops import (verify_pose, voting, voting_block,
+                                    voting_corr, voting_fast)
 
 
 @functools.partial(
@@ -166,9 +168,18 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
         if model.fast_tables is None:
             raise ValueError("engine='fast' but model.fast_tables is None — "
                              "rebuild tables for this engine")
-        votes = voting_fast.cast_votes_fast(
-            keys, alpha_s, model.fast_tables, model.n_points,
-            config.d_angle, vote_cap)
+        if model.fast_tables.block is not None:
+            # Block-expansion exact engine (ops/voting_block.py): bit-equal
+            # tallies, ~10-20x faster (row-granular gathers instead of
+            # per-vote element lookups). vote_cap is sized in row-padded
+            # slots by match() when the block tables are present.
+            votes = voting_block.cast_votes_block(
+                keys, alpha_s, model.fast_tables.block, model.n_points,
+                config.d_angle, vote_cap)
+        else:
+            votes = voting_fast.cast_votes_fast(
+                keys, alpha_s, model.fast_tables, model.n_points,
+                config.d_angle, vote_cap)
     else:
         votes = voting.cast_votes(keys, alpha_s, model.table,
                                   model.n_points, config.d_angle, vote_cap)
@@ -211,6 +222,16 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
         win = jnp.argmax(cl.vote_counts)
         pose = poses[win].at[:3, 3].set(cl.translations[win])
 
+    if config.refine_icp:
+        # ICP refinement of the winner (rebuild extension; the reference
+        # stops at the clustered winner). Voxel-pad sentinel points sit at
+        # ~1e7 and can never fall within the rejection radius, so no
+        # validity mask is needed.
+        pose = icp.refine_pose(
+            model.points, scene_points, pose,
+            iterations=config.icp_iterations,
+            max_dist=config.icp_max_dist_factor * model.d_dist).pose
+
     return MatchResult(
         pose=pose, cluster_votes=cl.vote_counts[win],
         num_votes=votes.num_votes, overflowed=votes.overflowed,
@@ -247,14 +268,18 @@ def _count_votes_rows_jit(model, scene_points, scene_normals, ref_point_df,
         d_angle, model.max_dist_bin, ref_indices=ref_idx)
     valid = keys != ppf_ops.INVALID_KEY
     cnt = jnp.where(valid, model.table.counts[jnp.where(valid, keys, 0)], 0)
-    return jnp.sum(cnt, axis=1, dtype=jnp.int32)
+    return (jnp.sum(cnt, axis=1, dtype=jnp.int32),
+            jnp.sum(voting_block.rows_for_counts(cnt), axis=1,
+                    dtype=jnp.int32))
 
 
 def _count_votes(model, scene_points, scene_normals, ref_point_df,
-                 d_angle) -> int:
-    rows = _count_votes_rows_jit(model, scene_points, scene_normals,
-                                 ref_point_df, d_angle)
-    return int(np.asarray(rows, dtype=np.int64).sum())
+                 d_angle) -> tuple[int, int]:
+    """Host-side exact (total votes, total block-engine vote rows)."""
+    rows, brows = _count_votes_rows_jit(model, scene_points, scene_normals,
+                                        ref_point_df, d_angle)
+    return (int(np.asarray(rows, dtype=np.int64).sum()),
+            int(np.asarray(brows, dtype=np.int64).sum()))
 
 
 def _next_cap(x: int) -> int:
@@ -293,14 +318,21 @@ def match(model: ModelDescription, scene_points, scene_normals,
             "engine='fast' requires fast_tables; build the model "
             "description with a fast/correlation config")
     if vote_cap is None:
-        total = _count_votes(model, scene_points, scene_normals,
-                             config.ref_point_df, config.d_angle)
+        total, total_rows = _count_votes(model, scene_points, scene_normals,
+                                         config.ref_point_df, config.d_angle)
         if config.engine == "fast":
-            # Row-aligned padding in the fast tally consumes up to one
-            # chunk per reference row.
             n_s = int(np.asarray(scene_points).shape[0])
             n_ref = (n_s + config.ref_point_df - 1) // config.ref_point_df
-            total += voting_fast.TALLY_CHUNK * n_ref
+            if model.fast_tables.block is not None:
+                # Block engine: capacity is row-granular — each segment
+                # rounds up to whole 128-lane rows, plus up to one chunk of
+                # row-alignment padding per reference row.
+                total = (total_rows
+                         + voting_block.CHUNK_ROWS * n_ref) * 128
+            else:
+                # Row-aligned padding in the fast tally consumes up to one
+                # chunk per reference row.
+                total += voting_fast.TALLY_CHUNK * n_ref
         vote_cap = _next_cap(total)
     return _match_jit(model, scene_points, scene_normals,
                       config.ref_point_df, int(vote_cap), config)
@@ -317,7 +349,7 @@ def match_accumulator_only(model: ModelDescription, scene_points,
     if vote_cap is None:
         vote_cap = _next_cap(_count_votes(
             model, scene_points, scene_normals, config.ref_point_df,
-            config.d_angle))
+            config.d_angle)[0])
     ref_idx = jnp.arange(0, n_s, config.ref_point_df, dtype=jnp.int32)
     keys, alpha_s = ppf_ops.pairwise_ppf_keys(
         scene_points, scene_normals, model.d_dist, config.d_angle,

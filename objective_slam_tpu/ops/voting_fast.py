@@ -131,6 +131,10 @@ class FastModelTables(NamedTuple):
     offsets: Optional[PackedTable]     # fallback: int32 over key space
     pair_mr: Optional[PackedTable]     # fallback: int32 over pair slots
     pair_alpha: Optional[PackedTable]  # fallback: float32 over pair slots
+    # Block-expansion tables (ops/voting_block.py): the preferred exact
+    # engine — zero per-element indexed ops. None when the model exceeds
+    # its packing budgets; drost dispatches on presence.
+    block: Optional[object] = None
 
 
 def build_fast_tables(table: voting_ref.KeyTable,
@@ -138,7 +142,9 @@ def build_fast_tables(table: voting_ref.KeyTable,
                       force_unpacked: bool = False) -> FastModelTables:
     """force_unpacked exercises the two-lookup fallback paths (used by
     models with n_points > 1024, bucket counts >= 2^CNT_BITS, or pair
-    arrays >= 2^OFF_BITS) without needing a huge model."""
+    arrays >= 2^OFF_BITS) without needing a huge model; it also skips the
+    block-expansion tables so the legacy per-vote path stays testable."""
+    from objective_slam_tpu.ops import voting_block
     def rot_for(n_elems, itemsize):
         rot = DEFAULT_ROT
         while rot > 1 and _ceil_to(n_elems, LANES) * itemsize * rot > \
@@ -183,10 +189,12 @@ def build_fast_tables(table: voting_ref.KeyTable,
         t_pair_mr = pack_table(pair_mr, rot=rot_p)
         t_pair_alpha = pack_table(pair_alpha, fill=0.0, rot=rot_p)
 
+    block = (None if force_unpacked
+             else voting_block.build_block_tables(table))
     return FastModelTables(
         cnt_off=t_cnt_off, pair_packed=t_pair_packed,
         counts=t_counts, offsets=t_offsets,
-        pair_mr=t_pair_mr, pair_alpha=t_pair_alpha)
+        pair_mr=t_pair_mr, pair_alpha=t_pair_alpha, block=block)
 
 
 def _as_q(x, cap):

@@ -29,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from objective_slam_tpu.config import PPFConfig
 from objective_slam_tpu.models.drost import ModelDescription
 from objective_slam_tpu.ops import clustering, ppf as ppf_ops, transforms as tr
-from objective_slam_tpu.ops import voting, voting_corr, voting_fast
+from objective_slam_tpu.ops import (voting, voting_block, voting_corr,
+                                    voting_fast)
 
 
 class ShardedMatchResult(NamedTuple):
@@ -55,7 +56,11 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
     df = config.ref_point_df
     R = (n_scene + df - 1) // df
     R_pad = ((R + n_dev - 1) // n_dev) * n_dev
-    # The fast engine row-pads each local row to a tally chunk; budget it.
+    # The fast engines row-pad each local row to a tally chunk; budget it.
+    # (Legacy chunk and block-engine chunk are both 8192 slots per row;
+    # the block engine additionally rounds each segment to whole 128-lane
+    # rows — callers should size vote_cap_per_shard from
+    # drost._count_votes' row totals when exactness matters.)
     if config.engine == "fast":
         vote_cap_per_shard += (R_pad // n_dev) * voting_fast.TALLY_CHUNK
     # Padded rows index a sentinel far outside the cloud -> self-pair rule
@@ -86,9 +91,14 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
             if mdl.fast_tables is None:
                 raise ValueError("engine='fast' but fast_tables is None — "
                                  "rebuild tables for this engine")
-            votes = voting_fast.cast_votes_fast(
-                keys, alpha_s, mdl.fast_tables, mdl.n_points,
-                config.d_angle, vote_cap_per_shard)
+            if mdl.fast_tables.block is not None:
+                votes = voting_block.cast_votes_block(
+                    keys, alpha_s, mdl.fast_tables.block, mdl.n_points,
+                    config.d_angle, vote_cap_per_shard)
+            else:
+                votes = voting_fast.cast_votes_fast(
+                    keys, alpha_s, mdl.fast_tables, mdl.n_points,
+                    config.d_angle, vote_cap_per_shard)
         else:
             votes = voting.cast_votes(keys, alpha_s, mdl.table,
                                       mdl.n_points, config.d_angle,

@@ -202,6 +202,93 @@ def estimate_normals_knn(points, k: int = 16, viewpoint=(0.0, 0.0, 0.0),
     return jnp.where(flip[:, None], -normal, normal)
 
 
+def _box3(x):
+    """27-cell box sum over the leading three (grid) axes of x via three
+    separable width-3 passes — pure dense adds, no gathers."""
+    for ax in range(3):
+        lo = jnp.roll(x, 1, axis=ax).at[(slice(None),) * ax + (0,)].set(0.0)
+        hi = jnp.roll(x, -1, axis=ax).at[(slice(None),) * ax + (-1,)].set(0.0)
+        x = x + lo + hi
+    return x
+
+
+def estimate_normals_grid(points, radius, viewpoint=(0.0, 0.0, 0.0),
+                          orient: str = "viewpoint", dims=None):
+    """Scalable surface-normal estimation for large raw scans.
+
+    `estimate_normals_knn` materializes the n×n distance matrix — 4×10¹⁰
+    bytes at the benchmark's 100 k raw points. This variant is O(n + grid):
+    bucket points into a voxel grid at leaf = radius, accumulate per-cell
+    first/second moments with one segment_sum, box-filter the moment grid
+    over the 27-cell neighborhood with three separable width-3 passes
+    (dense adds — no gathers), then read each point's neighborhood
+    statistics back with ONE row gather and solve the batched 3×3
+    eigenproblem. The neighborhood is the cube [−r, 2r]³ around the point's
+    cell instead of the exact k-NN ball; for normal estimation (smallest
+    principal axis of a locally planar patch) the two are equivalent in
+    practice — cross-validated against estimate_normals_knn in
+    tests/test_utils.py.
+
+    Same role as PCL NormalEstimation (the reference's upstream dependency
+    for its PLY inputs, SURVEY.md §7 step 2); orient semantics match
+    estimate_normals_knn.
+
+    Args:
+      points: (n, 3). radius: neighborhood scale (voxel leaf).
+      dims: optional static (dx, dy, dz) grid shape; computed from the
+        cloud's bbox on the host when omitted (requires concrete points).
+    """
+    p_np = None
+    if dims is None:
+        p_np = np.asarray(points, np.float32)
+        lo_h = p_np.min(axis=0)
+        hi_h = p_np.max(axis=0)
+        dims = tuple(int(d) + 1 for d in
+                     np.floor((hi_h - lo_h) / float(radius)).astype(np.int64))
+    dx, dy, dz = dims
+    n_cells = dx * dy * dz
+
+    p = jnp.asarray(points, jnp.float32)
+    n = p.shape[0]
+    lo = jnp.min(p, axis=0)
+    cell = jnp.clip(jnp.floor((p - lo) / jnp.float32(radius)).astype(
+        jnp.int32), 0, jnp.asarray([dx - 1, dy - 1, dz - 1]))
+    key = (cell[:, 0] * dy + cell[:, 1]) * dz + cell[:, 2]
+
+    # Per-cell moments: [1, x, y, z, xx, yy, zz, xy, xz, yz] (10 channels).
+    mom = jnp.concatenate([
+        jnp.ones((n, 1), jnp.float32), p,
+        p * p, p[:, [0, 0, 1]] * p[:, [1, 2, 2]]], axis=1)    # (n, 10)
+    grid = jax.ops.segment_sum(mom, key, num_segments=n_cells)
+    grid = _box3(grid.reshape(dx, dy, dz, 10)).reshape(n_cells, 10)
+
+    s = jnp.take(grid, key, axis=0)                            # (n, 10) ONE row gather
+    cnt = jnp.maximum(s[:, 0], 1.0)[:, None]
+    mu = s[:, 1:4] / cnt
+    exx = s[:, 4:7] / cnt
+    exy = s[:, 7:10] / cnt
+    # cov = E[ppᵀ] − μμᵀ (neighborhood covariance about the box mean).
+    cov = jnp.zeros((n, 3, 3), jnp.float32)
+    cov = cov.at[:, 0, 0].set(exx[:, 0] - mu[:, 0] * mu[:, 0])
+    cov = cov.at[:, 1, 1].set(exx[:, 1] - mu[:, 1] * mu[:, 1])
+    cov = cov.at[:, 2, 2].set(exx[:, 2] - mu[:, 2] * mu[:, 2])
+    cov = cov.at[:, 0, 1].set(exy[:, 0] - mu[:, 0] * mu[:, 1])
+    cov = cov.at[:, 0, 2].set(exy[:, 1] - mu[:, 0] * mu[:, 2])
+    cov = cov.at[:, 1, 2].set(exy[:, 2] - mu[:, 1] * mu[:, 2])
+    cov = cov.at[:, 1, 0].set(cov[:, 0, 1])
+    cov = cov.at[:, 2, 0].set(cov[:, 0, 2])
+    cov = cov.at[:, 2, 1].set(cov[:, 1, 2])
+
+    w, v = jnp.linalg.eigh(cov)
+    normal = v[..., 0]
+    if orient == "outward":
+        ref_dir = p - jnp.mean(p, axis=0)
+    else:
+        ref_dir = jnp.asarray(viewpoint, jnp.float32) - p
+    flip = jnp.sum(normal * ref_dir, axis=-1) < 0
+    return jnp.where(flip[:, None], -normal, normal)
+
+
 def mesh_vertex_normals(points, faces):
     """Area-weighted vertex normals from a triangle mesh — the MATLAB
     offline path (compute_normals.m: triangulation vertexNormal)."""

@@ -91,6 +91,30 @@ def test_knn_normals_on_sphere(rng):
     assert np.quantile(cos, 0.05) > 0.95
 
 
+def test_grid_normals_on_plane(rng):
+    pts = np.concatenate([rng.uniform(0, 1, size=(400, 2)),
+                          np.zeros((400, 1))], axis=1).astype(np.float32)
+    n = np.asarray(pc.estimate_normals_grid(pts, radius=0.12,
+                                            viewpoint=(0.5, 0.5, 5.0)))
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-3)
+    assert (n[:, 2] > 0).all()
+
+
+def test_grid_normals_match_knn_on_sphere(rng):
+    """The O(n) voxel-grid estimator must agree with the exact n×n kNN
+    estimator (its scalable replacement for raw 100k scans)."""
+    v = rng.normal(size=(1500, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = v.astype(np.float32)
+    n_grid = np.asarray(pc.estimate_normals_grid(pts, radius=0.15,
+                                                 orient="outward"))
+    n_knn = np.asarray(pc.estimate_normals_knn(pts, k=12, orient="outward"))
+    agree = np.abs(np.sum(n_grid * n_knn, axis=1))
+    assert agree.mean() > 0.99
+    cos = np.sum(n_grid * v, axis=1)
+    assert np.quantile(cos, 0.05) > 0.9   # outward-oriented radial normals
+
+
 def test_mesh_vertex_normals():
     # Unit square split in two triangles in the z=0 plane.
     pts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)

@@ -1,0 +1,131 @@
+"""Block-expansion exact engine (ops/voting_block.py): bit-equality with the
+legacy fast engine and the readable reference engine, capacity semantics,
+and end-to-end dispatch through drost.match."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from objective_slam_tpu.config import PPFConfig
+from objective_slam_tpu.models import drost
+from objective_slam_tpu.ops import (ppf as ppf_ops, voting, voting_block,
+                                    voting_fast)
+from objective_slam_tpu.utils import synthetic
+
+D_ANGLE = 2 * math.pi / 30
+
+
+def small_cloud(rng, n):
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    nrm = rng.normal(size=(n, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return pts, nrm.astype(np.float32)
+
+
+def _keys_and_tables(rng, n_m=24, n_s=40, d_dist=0.5, ref_point_df=1):
+    m_pts, m_nrm = small_cloud(rng, n_m)
+    s_pts, s_nrm = small_cloud(rng, n_s)
+    max_bin = 32
+    num_keys = ppf_ops.num_keys(max_bin)
+    mk, ma = ppf_ops.pairwise_ppf_keys(m_pts, m_nrm, d_dist, D_ANGLE, max_bin)
+    table = voting.build_key_table(mk, ma, num_keys)
+    ref_idx = jnp.arange(0, n_s, ref_point_df, dtype=jnp.int32)
+    sk, sa = ppf_ops.pairwise_ppf_keys(s_pts, s_nrm, d_dist, D_ANGLE,
+                                       max_bin, ref_indices=ref_idx)
+    return table, sk, sa, n_m
+
+
+def test_block_tables_cover_all_pairs(rng):
+    table, *_ = _keys_and_tables(rng)
+    bt = voting_block.build_block_tables(table)
+    assert bt is not None
+    counts = np.asarray(table.counts)
+    occ = np.nonzero(counts)[0]
+    assert bt.k_occ == len(occ)
+    # Every bucket's slots appear in pair2d at its dictionary row start.
+    occ_keys = np.asarray(bt.occ_keys)
+    occ_vals = np.asarray(bt.occ_vals)
+    pair2d = np.asarray(bt.pair2d).reshape(-1)
+    offsets = np.asarray(table.offsets)
+    pair_mr = np.asarray(table.pair_mr)
+    for i, k in enumerate(occ):
+        assert occ_keys[i] == k
+        c = int(occ_vals[i, 0])
+        assert c == counts[k]
+        s = int(occ_vals[i, 1]) * 128
+        got_m = pair2d[s:s + c] >> voting_block.ALPHA_BITS
+        np.testing.assert_array_equal(got_m,
+                                      pair_mr[offsets[k]:offsets[k] + c])
+
+
+def test_block_matches_fast_exactly(rng):
+    """The block engine must reproduce the legacy fast engine's tallies
+    bit-for-bit (same vote set, same fixed-point α binning)."""
+    table, sk, sa, n_m = _keys_and_tables(rng)
+    ft = voting_fast.build_fast_tables(table)
+    assert ft.block is not None
+    cap_fast = 1 << 18
+    out_fast = voting_fast.cast_votes_fast(sk, sa, ft, n_m, D_ANGLE,
+                                           cap_fast)
+    out_block = voting_block.cast_votes_block(sk, sa, ft.block, n_m,
+                                              D_ANGLE, cap_fast)
+    assert not bool(out_fast.overflowed)
+    assert not bool(out_block.overflowed)
+    assert int(out_fast.num_votes) == int(out_block.num_votes)
+    np.testing.assert_array_equal(np.asarray(out_fast.accumulator),
+                                  np.asarray(out_block.accumulator))
+
+
+def test_block_matches_fast_with_ref_df(rng):
+    table, sk, sa, n_m = _keys_and_tables(rng, n_s=33, ref_point_df=4)
+    ft = voting_fast.build_fast_tables(table)
+    out_fast = voting_fast.cast_votes_fast(sk, sa, ft, n_m, D_ANGLE, 1 << 18)
+    out_block = voting_block.cast_votes_block(sk, sa, ft.block, n_m,
+                                              D_ANGLE, 1 << 18)
+    np.testing.assert_array_equal(np.asarray(out_fast.accumulator),
+                                  np.asarray(out_block.accumulator))
+
+
+def test_block_overflow_flag(rng):
+    table, sk, sa, n_m = _keys_and_tables(rng)
+    bt = voting_block.build_block_tables(table)
+    tiny = voting_block.cast_votes_block(sk, sa, bt, n_m, D_ANGLE,
+                                         vote_cap=128)
+    assert bool(tiny.overflowed)
+
+
+def test_build_declines_oversize_models(rng):
+    table, *_ = _keys_and_tables(rng)
+    assert voting_block.build_block_tables(table, max_kocc=1) is None
+    ft = voting_fast.build_fast_tables(table, force_unpacked=True)
+    assert ft.block is None          # legacy fallback stays testable
+
+
+def test_match_e2e_block_vs_legacy(rng):
+    """drost.match dispatches to the block engine and recovers the same
+    planted pose as the legacy fast path (identical accumulators)."""
+    m_pts, m_nrm = synthetic.blob_cloud(rng, 220)
+    c_pts, c_nrm = synthetic.blob_cloud(rng, 420)
+    c_pts = c_pts * 1.8 + np.float32([2.5, 0.0, 0.0])
+    scene, scene_n, T_true = synthetic.plant_model(rng, m_pts, m_nrm,
+                                                   c_pts, c_nrm)
+    cfg = PPFConfig(max_poses=256, ref_point_df=3)
+    desc = drost.build_model_description(m_pts, m_nrm, cfg)
+    assert desc.fast_tables.block is not None
+    res = drost.match(desc, scene, scene_n, cfg)
+    assert not bool(res.overflowed)
+
+    # Legacy path: strip the block tables, same config.
+    desc_legacy = drost.ModelDescription(
+        points=desc.points, normals=desc.normals, beta=desc.beta,
+        gamma=desc.gamma, vote_weights=desc.vote_weights, table=desc.table,
+        d_dist=desc.d_dist,
+        fast_tables=desc.fast_tables._replace(block=None),
+        corr_tables=None, n_points=desc.n_points, num_keys=desc.num_keys,
+        max_dist_bin=desc.max_dist_bin, diameter=desc.diameter)
+    res_legacy = drost.match(desc_legacy, scene, scene_n, cfg)
+    np.testing.assert_array_equal(np.asarray(res.accumulator),
+                                  np.asarray(res_legacy.accumulator))
+    np.testing.assert_allclose(np.asarray(res.pose),
+                               np.asarray(res_legacy.pose), atol=1e-5)
