@@ -190,6 +190,22 @@ def cast_votes_block(scene_keys, scene_alpha, tables: BlockTables,
         chunk (chunk_rows*128 slots) of row-alignment padding per reference
         row (see drost.match sizing).
     """
+    R, n = scene_keys.shape
+    (pp, alpha_row, lanes_valid, row_start_p, total, overflow, row_cap) = \
+        _expand(scene_keys, scene_alpha, tables, vote_cap, chunk_rows)
+    acc = _tally(pp, alpha_row, lanes_valid,
+                 r_of_chunk_start=row_start_p, R=R, n_model=n_model,
+                 d_angle=d_angle, chunk_rows=chunk_rows, row_cap=row_cap)
+    return voting_ref.VoteResult(accumulator=acc, num_votes=total,
+                                 overflowed=overflow)
+
+
+def _expand(scene_keys, scene_alpha, tables: BlockTables, vote_cap: int,
+            chunk_rows: int):
+    """Dictionary match + row allocation + per-row fills + THE row gather.
+
+    Returns (pp, alpha_row, lanes_valid, row_start_p, total, overflow,
+    row_cap) — everything the tally needs."""
     row_cap = max(vote_cap // LANES, chunk_rows)
     row_cap = _ceil_to(row_cap, chunk_rows)
     R, n = scene_keys.shape
@@ -226,9 +242,27 @@ def cast_votes_block(scene_keys, scene_alpha, tables: BlockTables,
     # sizing in drost handles the int64-safe grand total on host).
     total = jnp.sum(cnt, dtype=jnp.int32)
 
+    alpha_fix = jnp.round((flat_alpha + jnp.float32(math.pi))
+                          * jnp.float32(_ALPHA_SCALE)).astype(jnp.int32)
+    alpha_fix = jnp.clip(alpha_fix, 0, (1 << ALPHA_BITS) - 1)
+
+    # Stream-compact the nonzero segments (typically a few % of S) with ONE
+    # S-sized scatter of a 4-column payload; every later scatter then runs
+    # at segment scale. Each nonzero segment occupies ≥ 1 vote row, so
+    # row_cap is a static upper bound on the compact segment count (anything
+    # beyond it would overflow the row capacity anyway — flagged above).
     nz = crows > 0
-    head_idx = jnp.where(nz, heads, row_cap)
-    tail_idx = jnp.where(nz, heads + crows, row_cap)
+    pos = jnp.where(nz, jnp.cumsum(nz, dtype=jnp.int32) - 1, row_cap)
+    payload = jnp.stack([cnt, brs, alpha_fix, heads], axis=1)     # (S, 4)
+    compact = jnp.zeros((row_cap, 4), jnp.int32) \
+        .at[pos].set(payload, mode="drop")
+    c_cnt = compact[:, 0]
+    c_brs = compact[:, 1]
+    c_alpha = compact[:, 2]
+    c_heads = compact[:, 3]
+    c_nz = c_cnt > 0
+    head_idx = jnp.where(c_nz, c_heads, row_cap)
+    tail_idx = jnp.where(c_nz, c_heads + rows_for_counts(c_cnt), row_cap)
 
     def seg_fill(vals):
         """Transport vals from each segment's head row through its tail row
@@ -238,34 +272,27 @@ def cast_votes_block(scene_keys, scene_alpha, tables: BlockTables,
         d = d.at[tail_idx].add(-vals, mode="drop")
         return jnp.cumsum(d, dtype=jnp.int32)
 
-    alpha_fix = jnp.round((flat_alpha + jnp.float32(math.pi))
-                          * jnp.float32(_ALPHA_SCALE)).astype(jnp.int32)
-    alpha_fix = jnp.clip(alpha_fix, 0, (1 << ALPHA_BITS) - 1)
-
     t_iota = jnp.arange(row_cap, dtype=jnp.int32)
     # Valid lanes in row t: cnt[s] − (t − head)·128, clipped to [0, 128].
     # This alone decides row membership: inside a segment the transported
     # value is ≥ 1 (the last row keeps 1..128 valid lanes); outside every
     # segment the fill is 0, so c_rem = −128·t ≤ 0 → 0 valid lanes. No
     # separate start/length fills are needed.
-    c_rem = seg_fill(jnp.where(nz, cnt + (heads * LANES), 0)) \
+    c_rem = seg_fill(jnp.where(c_nz, c_cnt + (c_heads * LANES), 0)) \
         - t_iota * LANES
     lanes_valid = jnp.clip(c_rem, 0, LANES)
 
     # src_row[t] = brs[s] + (t − head[s]): ride (brs − head), add iota.
-    src_row = seg_fill(jnp.where(nz, brs - heads, 0)) + t_iota
+    src_row = seg_fill(jnp.where(c_nz, c_brs - c_heads, 0)) + t_iota
     src_row = jnp.where(lanes_valid > 0,
                         jnp.clip(src_row, 0, tables.n_rows - 1), 0)
-    alpha_row = seg_fill(jnp.where(nz, alpha_fix, 0))
+    alpha_row = seg_fill(jnp.where(c_nz, c_alpha, 0))
 
     # THE gather: one row-granular DMA per vote row.
     pp = jnp.take(tables.pair2d, src_row, axis=0)           # (row_cap, 128)
 
-    acc = _tally(pp, alpha_row, lanes_valid,
-                 r_of_chunk_start=row_start_p, R=R, n_model=n_model,
-                 d_angle=d_angle, chunk_rows=chunk_rows, row_cap=row_cap)
-    return voting_ref.VoteResult(accumulator=acc, num_votes=total,
-                                 overflowed=overflow)
+    return (pp, alpha_row, lanes_valid, row_start_p, total, overflow,
+            row_cap)
 
 
 def _unpack_bin(pp_i32, a_s, n_angle):
@@ -297,31 +324,65 @@ def _tally(pp, alpha_row, lanes_valid, r_of_chunk_start, R, n_model,
     lv = lanes_valid.reshape(n_chunks, 1, G)
 
     if jax.default_backend() == "tpu":
+        H = m_pad // 128
+        # Rows per MXU contraction: GROW rows fuse into one k = GROW·128
+        # matmul (a free row-major HBM reshape), amortizing small-matmul
+        # setup; α_s / valid-lane vectors are assembled per group from SMEM.
+        GROW = 8
+        assert G % GROW == 0
+        n_grp = G // GROW
+        K = GROW * LANES
+
+        ppg = ppv.reshape(n_chunks, n_grp, K)
+
         def kernel(pp_ref, a_ref, l_ref, out_ref):
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-            iota_m = jax.lax.broadcasted_iota(jnp.int32, (m_pad, LANES), 0)
-            iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, LANES), 0)
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+            lane_in_row = lane_iota & (LANES - 1)
+            row_of_lane = jax.lax.shift_right_logical(lane_iota, 7)
+            iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
+            iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, K), 0)
 
-            def row(g, acc):
-                pr = pp_ref[0, g, :][None, :]
-                a_s = a_ref[0, 0, g]
-                nl = l_ref[0, 0, g]
-                m, a_bin = _unpack_bin(pr, a_s, n_angle)
-                ok = lane < nl
-                om_t = ((m == iota_m) & ok).astype(jnp.bfloat16)
+            def group(g, accs):
+                pr = pp_ref[0, g, :][None, :]                    # (1, K)
+                # Broadcast the GROW per-row scalars across their 128-lane
+                # groups with masked selects (dynamic_update_slice is not
+                # lowerable in Mosaic TC kernels).
+                a_vec = jnp.zeros((1, K), jnp.int32)
+                l_vec = jnp.zeros((1, K), jnp.int32)
+                for j in range(GROW):
+                    in_g = row_of_lane == j
+                    a_vec = jnp.where(in_g, a_ref[0, 0, g * GROW + j], a_vec)
+                    l_vec = jnp.where(in_g, l_ref[0, 0, g * GROW + j], l_vec)
+                m, a_bin = _unpack_bin(pr, a_vec, n_angle)
+                ok = lane_in_row < l_vec
                 oa_t = (a_bin == iota_a).astype(jnp.bfloat16)
-                return acc + jax.lax.dot_general(
-                    om_t, oa_t, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                # Two-level m one-hot: compare the 7 low bits against a
+                # 128-row iota once, then mask per 128-point group — 128+H
+                # compares per slot instead of m_pad.
+                m_lo = m & 127
+                om_lo = (m_lo == iota_lo) & ok
+                if H == 1:
+                    parts = (om_lo.astype(jnp.bfloat16),)
+                else:
+                    m_hi = jax.lax.shift_right_logical(m, 7)
+                    parts = tuple((om_lo & (m_hi == h)).astype(jnp.bfloat16)
+                                  for h in range(H))
+                return tuple(
+                    acc + jax.lax.dot_general(
+                        om_h, oa_t, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    for acc, om_h in zip(accs, parts))
 
-            out_ref[0] = jax.lax.fori_loop(
-                0, G, row, jnp.zeros((m_pad, A), jnp.float32))
+            accs = jax.lax.fori_loop(
+                0, n_grp, group,
+                tuple(jnp.zeros((128, A), jnp.float32) for _ in range(H)))
+            out_ref[0] = jnp.concatenate(accs, axis=0)
 
         partials = pl.pallas_call(
             kernel,
             grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec((1, G, LANES), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, n_grp, K), lambda i: (i, 0, 0)),
                 # Per-row scalars (α_s, valid lanes) land in SMEM — the
                 # kernel indexes them at a dynamic row offset, which VMEM
                 # vector loads can't do.
@@ -333,7 +394,7 @@ def _tally(pp, alpha_row, lanes_valid, r_of_chunk_start, R, n_model,
             out_specs=pl.BlockSpec((1, m_pad, A), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((n_chunks, m_pad, A),
                                            jnp.float32),
-        )(ppv, av, lv)
+        )(ppg, av, lv)
     else:
         # XLA twin (CPU tests / interpret-free golden runs).
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)

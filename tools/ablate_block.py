@@ -40,8 +40,9 @@ def main():
     import bench as benchmod
 
     rng = np.random.default_rng(0)
-    mp_raw, mn_raw, scene_raw, scene_nrm_raw, T_true = benchmod.build_scene(
-        rng)
+    mp_raw, mn_raw = benchmod.build_model(rng)
+    scene_raw, scene_nrm_raw, T_true = benchmod.build_scene(rng, mp_raw,
+                                                            mn_raw)
     cfg = PPFConfig(max_poses=1024, ref_point_df=5)
     d_dist = cfg.tau_d * pc.bbox_diameter(mp_raw)
     mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
@@ -105,6 +106,15 @@ def main():
     votes_per_s = total / (dt_b - base)
     print(f"[block full]     {dt_b*1e3:9.1f} ms (delta {(dt_b-base)*1e3:7.1f})"
           f"  -> {votes_per_s/1e9:.3f} Gvotes/s (delta-based)", flush=True)
+
+    # expansion alone (dict + fills + row gather; everything but the tally)
+    f_exp = jax.jit(lambda p, q: jax.tree_util.tree_map(
+        lambda x: jnp.sum(x.view(jnp.int32) if x.dtype == jnp.uint32 else
+                          x.astype(jnp.int32), dtype=jnp.int32),
+        vb._expand(*f_keys(p, q), bt, cap, vb.CHUNK_ROWS)[:3]))
+    dt_e = wall(f_exp, scenes())
+    print(f"[keys+expand]    {dt_e*1e3:9.1f} ms (delta {(dt_e-dt)*1e3:7.1f}"
+          f" over keys)", flush=True)
 
     # tally alone at cap scale (synthetic inputs)
     row_cap = cap // 128

@@ -38,8 +38,9 @@ def main():
     import bench as benchmod
 
     rng = np.random.default_rng(0)
-    mp_raw, mn_raw, scene_raw, scene_nrm_raw, T_true = benchmod.build_scene(
-        rng)
+    mp_raw, mn_raw = benchmod.build_model(rng)
+    scene_raw, scene_nrm_raw, T_true = benchmod.build_scene(rng, mp_raw,
+                                                            mn_raw)
     cfg = PPFConfig(max_poses=1024, ref_point_df=5)
     d_dist = cfg.tau_d * pc.bbox_diameter(mp_raw)
     mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
