@@ -92,6 +92,10 @@ def configure_options(argv=None) -> argparse.Namespace:
     p.add_argument("--icp_iterations", type=int, default=0,
                    help="if >0, refine each pose with this many ICP "
                         "iterations (extension; not in the reference)")
+    p.add_argument("--icp_max_dist_factor", type=float, default=2.0,
+                   help="ICP correspondence rejection radius as a multiple "
+                        "of d_dist; tighten (e.g. 1.0) for partial views "
+                        "so occluded model points don't latch onto clutter")
     return p.parse_args(argv)
 
 
@@ -194,7 +198,8 @@ def _run(args) -> int:
         rescore_poses=args.rescore_poses,
         cluster_center_cell=args.cluster_center_cell,
         refine_icp=args.icp_iterations > 0,
-        icp_iterations=max(args.icp_iterations, 1))
+        icp_iterations=max(args.icp_iterations, 1),
+        icp_max_dist_factor=args.icp_max_dist_factor)
 
     out = ppf_registration(ds_scenes, ds_models, model_d_dists, cfg,
                            cpu_clustering=args.cpu_clustering)

@@ -59,14 +59,18 @@ class PPFConfig:
         d_dist of a scene point) and pick the best — a standard PPF
         verification stage absent from the reference; fixes Hough-peak
         aliasing for near-symmetric models (ops/verify_pose.py).
-      engine: voting engine. "fast" = gather-free sublane-tga + MXU tally
-        (ops/voting_fast.py, the TPU-native hot path); "reference" = the
-        simple expansion engine (ops/voting.py, readable twin used for
-        golden-testing). Tallies are identical up to fixed-point α-bin
-        boundary moves (< 0.5% of votes; bin 30 at exactly α=π wraps to 0 —
-        PARITY.md §9). "correlation" = matmul-only Hough voting
-        (ops/voting_corr.py) whose cost is independent of the vote count;
-        approximate (±1 α-bin transport, PARITY.md §10).
+      engine: voting engine. "fast" = the TPU-native exact hot path —
+        block-expansion voting (ops/voting_block.py: occupied-key
+        dictionary matmul + bucket-row gather + fused Pallas tally) when
+        the model fits its packing budgets, else the legacy
+        sublane-tga engine (ops/voting_fast.py); the two produce
+        bit-identical tallies. "reference" = the simple expansion engine
+        (ops/voting.py, readable twin used for golden-testing). Tallies are
+        identical up to fixed-point α-bin boundary moves (< 0.5% of votes;
+        bin 30 at exactly α=π wraps to 0 — PARITY.md §9). "correlation" =
+        matmul-only Hough voting (ops/voting_corr.py) whose cost is
+        independent of the vote count; approximate (±1 α-bin transport,
+        PARITY.md §10; recognition-equivalent at dataset scale — EVAL.md).
     """
 
     engine: str = "fast"

@@ -35,13 +35,25 @@ def quat_to_matrix(q) -> np.ndarray:
     ], np.float32)
 
 
+def _bump_field(v, bumps: float):
+    """Radial bump field over unit directions. The z-dependent second term
+    is essential: the plain sin(5x)cos(3y) field is independent of z and
+    even in y, making the blob EXACTLY invariant under a 180° rotation
+    about the x-axis — a two-fold-symmetric object for which 'the' 6-DoF
+    pose is ill-posed (both poses are physically correct, Hough votes split
+    between them, and ht_dist validation coin-flips)."""
+    return 1.0 + bumps * (np.sin(5 * v[:, 0]) * np.cos(3 * v[:, 1])
+                          + 0.7 * np.sin(2 * v[:, 2] + 1.0)
+                          * np.cos(2 * v[:, 0]))
+
+
 def blob_cloud(rng, n: int, bumps: float = 0.3):
     """A bumpy star-convex blob with outward normals — a generic non-planar
-    test object (the reference uses real PLY models; this is the
+    asymmetric test object (the reference uses real PLY models; this is the
     self-contained equivalent)."""
     v = rng.normal(size=(n, 3))
     v /= np.linalg.norm(v, axis=1, keepdims=True)
-    radii = 1.0 + bumps * np.sin(5 * v[:, 0]) * np.cos(3 * v[:, 1])
+    radii = _bump_field(v, bumps)
     return (v * radii[:, None]).astype(np.float32), v.astype(np.float32)
 
 
@@ -81,6 +93,90 @@ def plant_model(rng, model_points, model_normals, scene_points=None,
     out_p = np.concatenate([sp, placed]).astype(np.float32)
     out_n = np.concatenate([sn, placed_n]).astype(np.float32)
     return out_p, out_n, T
+
+
+_ICO_T = (1.0 + math.sqrt(5.0)) / 2.0
+_ICO_VERTS = np.array([
+    [-1, _ICO_T, 0], [1, _ICO_T, 0], [-1, -_ICO_T, 0], [1, -_ICO_T, 0],
+    [0, -1, _ICO_T], [0, 1, _ICO_T], [0, -1, -_ICO_T], [0, 1, -_ICO_T],
+    [_ICO_T, 0, -1], [_ICO_T, 0, 1], [-_ICO_T, 0, -1], [-_ICO_T, 0, 1],
+], np.float64)
+_ICO_FACES = np.array([
+    [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+    [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+    [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+    [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+], np.int64)
+
+
+def bumpy_mesh(subdiv: int = 3, bumps: float = 0.3):
+    """A closed triangle mesh (subdivided icosahedron with the same radial
+    bump field as blob_cloud) — a real mesh-derived test shape with faces,
+    standing in for the reference's PLY mesh models
+    (matlab/compute_normals.m consumes exactly this kind of input).
+
+    Returns (vertices (n,3) f32, faces (m,3) int32)."""
+    verts = _ICO_VERTS / np.linalg.norm(_ICO_VERTS, axis=1, keepdims=True)
+    faces = _ICO_FACES
+    for _ in range(subdiv):
+        edge_mid = {}
+        new_faces = []
+        vlist = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = vlist[a] + vlist[b]
+                m /= np.linalg.norm(m)
+                edge_mid[key] = len(vlist)
+                vlist.append(m)
+            return edge_mid[key]
+
+        for (a, b, c) in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [ab, b, bc], [ca, bc, c],
+                          [ab, bc, ca]]
+        verts = np.asarray(vlist)
+        faces = np.asarray(new_faces, np.int64)
+    radii = _bump_field(verts, bumps)
+    return ((verts * radii[:, None]).astype(np.float32),
+            faces.astype(np.int32))
+
+
+def partial_view(points, normals, viewpoint, res: int = 96,
+                 depth_tol: float = 0.05):
+    """Self-occlusion culling: keep the points a sensor at `viewpoint`
+    actually sees — back-face cull, then a z-buffer over an image grid
+    keeps only points within depth_tol·range of the nearest hit per pixel.
+    The partial-view generator for occlusion studies (the reference's UWA
+    scenes are real partial scans; SURVEY.md §4.5)."""
+    p = np.asarray(points, np.float64)
+    nr = np.asarray(normals, np.float64)
+    vp = np.asarray(viewpoint, np.float64)
+    to_vp = vp - p
+    depth = np.linalg.norm(to_vp, axis=1)
+    front = np.sum(nr * to_vp, axis=1) > 0
+
+    z = p.mean(axis=0) - vp
+    z /= np.linalg.norm(z)
+    x = np.cross(z, [0.0, 0.0, 1.0])
+    if np.linalg.norm(x) < 1e-6:
+        x = np.cross(z, [0.0, 1.0, 0.0])
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    rel = p - vp
+    d = rel @ z
+    u = (rel @ x) / np.maximum(d, 1e-9)
+    v = (rel @ y) / np.maximum(d, 1e-9)
+    ui = np.clip(((u - u.min()) / max(np.ptp(u), 1e-9)
+                  * (res - 1)).astype(int), 0, res - 1)
+    vi = np.clip(((v - v.min()) / max(np.ptp(v), 1e-9)
+                  * (res - 1)).astype(int), 0, res - 1)
+    pix = ui * res + vi
+    zbuf = np.full(res * res, np.inf)
+    np.minimum.at(zbuf, pix[front], depth[front])
+    visible = front & (depth <= zbuf[pix] * (1.0 + depth_tol))
+    return visible
 
 
 def clutter_cloud(rng, n: int, lo=-2.0, hi=4.0):

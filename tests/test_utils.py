@@ -115,6 +115,39 @@ def test_grid_normals_match_knn_on_sphere(rng):
     assert np.quantile(cos, 0.05) > 0.9   # outward-oriented radial normals
 
 
+def test_bumpy_mesh_is_closed():
+    from objective_slam_tpu.utils import synthetic
+    verts, faces = synthetic.bumpy_mesh(subdiv=2)
+    assert len(verts) == 162 and len(faces) == 320
+    # Closed 2-manifold: every edge shared by exactly two faces.
+    edges = {}
+    for (a, b, c) in faces:
+        for e in [(a, b), (b, c), (c, a)]:
+            k = (min(e), max(e))
+            edges[k] = edges.get(k, 0) + 1
+    assert all(v == 2 for v in edges.values())
+    # Outward mesh normals align with the radial bump field.
+    n = pc.mesh_vertex_normals(verts, faces)
+    r = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    assert np.quantile(np.sum(n * r, axis=1), 0.05) > 0.5
+
+
+def test_partial_view_culling(rng):
+    from objective_slam_tpu.utils import synthetic
+    v = rng.normal(size=(2000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = v.astype(np.float32)                  # unit sphere, radial normals
+    vis = synthetic.partial_view(pts, pts, viewpoint=(5.0, 0.0, 0.0))
+    frac = vis.mean()
+    assert 0.2 < frac < 0.7                     # roughly a hemisphere
+    # Every visible point faces the sensor.
+    to_vp = np.float32([5.0, 0, 0]) - pts[vis]
+    assert (np.sum(pts[vis] * to_vp, axis=1) > 0).all()
+    # The far pole is hidden.
+    far = pts[:, 0] < -0.5
+    assert vis[far].mean() < 0.05
+
+
 def test_mesh_vertex_normals():
     # Unit square split in two triangles in the z=0 plane.
     pts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
