@@ -152,11 +152,15 @@ def main():
     def pipeline(cfg_run):
         def run(raw_p, raw_n):
             vox = vox_of(raw_p, raw_n)
+            # ICP refines against the RAW 100k scan (icp_points): with both
+            # clouds voxelized at d_dist, point-to-point ICP stalls at the
+            # sampling-spacing floor (~10 deg here) instead of converging.
             return _match_core(desc, vox.points, vox.normals,
                                ref_point_df=cfg_run.ref_point_df,
                                vote_cap=cap if cfg_run.engine == "fast"
                                else 0,
-                               config=cfg_run)
+                               config=cfg_run, icp_points=raw_p,
+                               icp_normals=raw_n)
         return jax.jit(run)
 
     def stage_keys(raw_p, raw_n):

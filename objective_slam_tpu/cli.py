@@ -201,8 +201,11 @@ def _run(args) -> int:
         icp_iterations=max(args.icp_iterations, 1),
         icp_max_dist_factor=args.icp_max_dist_factor)
 
+    # ICP (if enabled) refines against the PRE-downsample scans — the
+    # voxelized cloud's spacing would floor the achievable accuracy.
     out = ppf_registration(ds_scenes, ds_models, model_d_dists, cfg,
-                           cpu_clustering=args.cpu_clustering)
+                           cpu_clustering=args.cpu_clustering,
+                           icp_clouds=scene_clouds)
 
     if args.validation_files:
         for i in range(len(ds_scenes)):

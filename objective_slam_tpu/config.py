@@ -46,14 +46,23 @@ class PPFConfig:
         this fraction of the model diameter (alignment.cpp:141-142).
       validation_rotation_threshold_deg: match iff rotation error (rad) below
         this many degrees (alignment.cpp:143-144, default 12°).
-      refine_icp: if True, refine the winning pose with point-to-point ICP
-        (ops/icp.py, batched Kabsch on the MXU) inside the jitted match —
-        the Drost winner's rotation error is bounded by the 2π/30 α
-        quantization (~±6°); ICP takes it to the noise floor. Extension:
-        the reference stops at the clustered winner (model.cu:293-295).
+      refine_icp: if True, refine the winning pose with ICP (ops/icp.py,
+        MXU-native NN + solve) inside the jitted match — the Drost
+        winner's rotation error is bounded by the 2π/30 α quantization
+        (~±6°); ICP takes it to the noise floor. Extension: the reference
+        stops at the clustered winner (model.cu:293-295).
       icp_iterations: fixed ICP iteration count (static shape).
       icp_max_dist_factor: ICP correspondence rejection radius as a
         multiple of d_dist.
+      icp_point_to_plane: use the point-to-plane solver (hybrid Kabsch →
+        clamped linearized 6×6) with scene normals. Point-to-plane doesn't
+        penalize sliding along the surface, but it minimizes the
+        off-surface bias of voxel-CENTROID model points — on highly curved
+        surfaces that bias field can fix the pose a few degrees off
+        (measured ~3° on the bumpy synthetic blob), while point-to-point
+        against a full-resolution scan converges below 1° given enough
+        iterations. Default False (point-to-point); enable for smooth
+        real scans where the centroid bias is below the noise floor.
       rescore_poses: if True, re-rank the threshold-surviving candidate
         poses by geometric inlier score (fraction of model points within
         d_dist of a scene point) and pick the best — a standard PPF
@@ -76,8 +85,9 @@ class PPFConfig:
     engine: str = "fast"
     rescore_poses: bool = False
     refine_icp: bool = False
-    icp_iterations: int = 12
+    icp_iterations: int = 24
     icp_max_dist_factor: float = 2.0
+    icp_point_to_plane: bool = False
     n_angle: int = 30
     tau_d: float = 0.1
     ref_point_df: int = 1

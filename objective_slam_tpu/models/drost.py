@@ -136,9 +136,14 @@ class MatchResult(NamedTuple):
 
 
 def _match_core(model: ModelDescription, scene_points, scene_normals,
-                *, ref_point_df: int, vote_cap: int, config: PPFConfig
-                ) -> MatchResult:
-    """The jitted matching pipeline (Model::ppf_lookup, model.cu:269-306)."""
+                *, ref_point_df: int, vote_cap: int, config: PPFConfig,
+                icp_points=None, icp_normals=None) -> MatchResult:
+    """The jitted matching pipeline (Model::ppf_lookup, model.cu:269-306).
+
+    icp_points/icp_normals: optional full-resolution scene cloud for the
+    ICP stage. Voting must see the voxelized (uniform-density) cloud, but
+    refinement against the raw scan is what gets ICP below the
+    voxel-spacing accuracy floor (see ops/icp.refine_pose)."""
     scene_points = jnp.asarray(scene_points, jnp.float32)
     scene_normals = jnp.asarray(scene_normals, jnp.float32)
     n_s = scene_points.shape[0]
@@ -227,10 +232,17 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
         # stops at the clustered winner). Voxel-pad sentinel points sit at
         # ~1e7 and can never fall within the rejection radius, so no
         # validity mask is needed.
+        icp_target = scene_points if icp_points is None else \
+            jnp.asarray(icp_points, jnp.float32)
+        icp_nrm = (scene_normals if icp_points is None else icp_normals)
         pose = icp.refine_pose(
-            model.points, scene_points, pose,
+            model.points, icp_target, pose,
             iterations=config.icp_iterations,
-            max_dist=config.icp_max_dist_factor * model.d_dist).pose
+            max_dist=config.icp_max_dist_factor * model.d_dist,
+            scene_normals=None if icp_nrm is None
+            else jnp.asarray(icp_nrm, jnp.float32),
+            model_normals=model.normals,
+            point_to_plane=config.icp_point_to_plane).pose
 
     return MatchResult(
         pose=pose, cluster_votes=cl.vote_counts[win],
@@ -244,10 +256,11 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
 @functools.partial(jax.jit,
                    static_argnames=("ref_point_df", "vote_cap", "config"))
 def _match_jit(model, scene_points, scene_normals, ref_point_df, vote_cap,
-               config):
+               config, icp_points=None, icp_normals=None):
     return _match_core(model, scene_points, scene_normals,
                        ref_point_df=ref_point_df, vote_cap=vote_cap,
-                       config=config)
+                       config=config, icp_points=icp_points,
+                       icp_normals=icp_normals)
 
 
 @functools.partial(jax.jit, static_argnames=("ref_point_df", "d_angle"))
@@ -299,13 +312,18 @@ def _next_cap(x: int) -> int:
 
 def match(model: ModelDescription, scene_points, scene_normals,
           config: PPFConfig = PPFConfig(),
-          vote_cap: int | None = None) -> MatchResult:
+          vote_cap: int | None = None, icp_points=None,
+          icp_normals=None) -> MatchResult:
     """Match a model description against a scene cloud.
 
     When vote_cap is None, an exact count pass sizes the vote buffer and
     rounds it up to a power of two — never overflows, with at most
     log2-many distinct compilations. Pass an explicit vote_cap for
-    fully-static pipelines (and check `result.overflowed`)."""
+    fully-static pipelines (and check `result.overflowed`).
+
+    icp_points: optional full-resolution scene cloud; when config.refine_icp
+    is set, ICP refines against this instead of the (typically voxelized)
+    scene_points, beating the voxel-spacing accuracy floor."""
     if config.engine == "correlation":
         if model.corr_tables is None:
             raise ValueError(
@@ -335,7 +353,8 @@ def match(model: ModelDescription, scene_points, scene_normals,
                 total += voting_fast.TALLY_CHUNK * n_ref
         vote_cap = _next_cap(total)
     return _match_jit(model, scene_points, scene_normals,
-                      config.ref_point_df, int(vote_cap), config)
+                      config.ref_point_df, int(vote_cap), config,
+                      icp_points=icp_points, icp_normals=icp_normals)
 
 
 def match_accumulator_only(model: ModelDescription, scene_points,

@@ -39,7 +39,9 @@ def ppf_registration(scene_clouds: Sequence[tuple[np.ndarray, np.ndarray]],
                      model_clouds: Sequence[tuple[np.ndarray, np.ndarray]],
                      model_d_dists: Sequence[float],
                      config: PPFConfig = PPFConfig(),
-                     cpu_clustering: bool = False) -> RegistrationOutput:
+                     cpu_clustering: bool = False,
+                     icp_clouds: Sequence[tuple[np.ndarray, np.ndarray]]
+                     | None = None) -> RegistrationOutput:
     """Match all models in all scenes.
 
     Args:
@@ -50,6 +52,9 @@ def ppf_registration(scene_clouds: Sequence[tuple[np.ndarray, np.ndarray]],
       model_d_dists: per-model quantization steps (tau_d · diameter).
       cpu_clustering: use the greedy host clustering mode
         (--cpu_clustering, model.cu:246-266).
+      icp_clouds: optional per-scene FULL-RESOLUTION (points, normals) for
+        ICP refinement (the pre-downsample scans); ignored unless
+        config.refine_icp.
     """
     descriptions = []
     for (mp, mn), d_dist in zip(model_clouds, model_d_dists):
@@ -69,7 +74,12 @@ def ppf_registration(scene_clouds: Sequence[tuple[np.ndarray, np.ndarray]],
                 res = clusters
                 T = np.asarray(pose)
             else:
-                res = drost.match(desc, sp, sn, config)
+                res = drost.match(
+                    desc, sp, sn, config,
+                    icp_points=None if icp_clouds is None
+                    else icp_clouds[si][0],
+                    icp_normals=None if icp_clouds is None
+                    else icp_clouds[si][1])
                 T = np.asarray(res.pose)
                 if bool(res.overflowed):
                     log.warning("scene %d model %d: vote buffer overflow",

@@ -68,6 +68,49 @@ def test_icp_jits(rng):
     assert out.shape == (4, 4)
 
 
+def test_icp_point_to_plane_converges(rng):
+    """Hybrid Kabsch -> clamped point-to-plane from a ~6 deg perturbation:
+    must converge, not diverge (undamped Gauss-Newton on point-to-plane
+    overshoots ~18 deg on the first step with inconsistent correspondences)."""
+    mp_raw, mn_raw = synthetic.blob_cloud(rng, 4000)
+    from objective_slam_tpu.utils import pointcloud as pc
+    d_dist = 0.1 * pc.bbox_diameter(mp_raw)
+    mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
+    sp, sn, T_true = synthetic.plant_model(rng, mp_raw, mn_raw)
+    pert = np.asarray(tr.rotx(math.radians(6.0)))
+    T0 = T_true @ pert
+    T0[:3, 3] += rng.normal(scale=0.02, size=3)
+    res = icp.refine_pose(mp, sp, T0, iterations=16, max_dist=2.0 * d_dist,
+                          scene_normals=sn, model_normals=mn)
+    td, rd = (float(x) for x in tr.ht_dist(np.asarray(res.pose), T_true))
+    assert math.degrees(rd) < 2.0, math.degrees(rd)
+    assert td < 0.05 * 2.0, td
+
+
+def test_icp_raw_scan_beats_voxel_floor(rng):
+    """match(icp_points=<raw scan>): with BOTH clouds voxelized at d_dist,
+    point-to-point ICP stalls at the sampling-spacing floor; refining
+    against the raw scan must do strictly better (VERDICT r1 next #4)."""
+    from objective_slam_tpu.utils import pointcloud as pc
+    mp_raw, mn_raw = synthetic.blob_cloud(rng, 4000)
+    sp_raw, sn_raw, T_true = synthetic.plant_model(rng, mp_raw, mn_raw)
+    cfg = PPFConfig(ref_point_df=2, refine_icp=True)
+    d_dist = cfg.tau_d * pc.bbox_diameter(mp_raw)
+    mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
+    desc = ost.build_model_description(mp, mn, cfg, d_dist=d_dist)
+    spd, snd = pc.voxel_downsample_np(sp_raw, sn_raw, d_dist)
+    res_vox = ost.match(desc, spd, snd, cfg)
+    res_raw = ost.match(desc, spd, snd, cfg, icp_points=sp_raw,
+                        icp_normals=sn_raw)
+    _, rd_vox = (float(x) for x in tr.ht_dist(np.asarray(res_vox.pose),
+                                              T_true))
+    td, rd_raw = (float(x) for x in tr.ht_dist(np.asarray(res_raw.pose),
+                                               T_true))
+    assert rd_raw < rd_vox + 1e-6, (rd_vox, rd_raw)
+    assert math.degrees(rd_raw) < 2.0, math.degrees(rd_raw)
+    assert td < 0.02 * desc.diameter, (td, desc.diameter)
+
+
 def test_model_description_roundtrip(tmp_path, rng):
     """Serialize + reload a description; matching results are identical —
     the checkpoint/resume path the reference lacks (SURVEY.md §5)."""
