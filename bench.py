@@ -51,16 +51,26 @@ def build_model(rng, n_model_raw=20_000):
     return synthetic.blob_cloud(rng, n_model_raw)
 
 
-def build_scene(rng, mp_raw, mn_raw, n_total=100_000):
-    """One model blob among planar clutter patches — a tabletop-like scan.
+N_INSTANCES = 4
 
-    Clutter must be surface-like (scans are surfaces) and geometrically
-    DISSIMILAR to the model: clutter made of blobs shares the model's local
-    curvature statistics and explodes the vote count ~10x beyond anything a
-    real scene produces."""
+
+def build_scene(rng, mp_raw, mn_raw, n_total=100_000,
+                n_instances=N_INSTANCES):
+    """A bin-picking-style scan: several instances of the model among
+    planar clutter patches — the standard PPF benchmark setting (the
+    reference's UWA scenes hold 4-5 objects each, analyze_mian.py).
+
+    Clutter is surface-like (scans are surfaces) and geometrically
+    DISSIMILAR to the model — blob clutter would share the model's local
+    curvature statistics and inflate votes beyond any real scene. Multiple
+    instances, by contrast, raise the vote count the way a real crowded
+    bin does: every instance genuinely matches the model description.
+
+    Returns (scene, normals, [T_true per instance])."""
     from objective_slam_tpu.utils import synthetic
 
-    n_clutter = n_total - len(mp_raw)
+    n_inst_pts = 15_000
+    n_clutter = n_total - n_instances * n_inst_pts
     per = n_clutter // 8
     cps, cns = [], []
     for b in range(8):
@@ -76,9 +86,24 @@ def build_scene(rng, mp_raw, mn_raw, n_total=100_000):
                                                       size=(cnt, 3))
         nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
         cns.append(nrm)
-    cp = np.concatenate(cps).astype(np.float32)
-    cn = np.concatenate(cns).astype(np.float32)
-    return synthetic.plant_model(rng, mp_raw, mn_raw, cp, cn)
+    sp = np.concatenate(cps).astype(np.float32)
+    sn = np.concatenate(cns).astype(np.float32)
+
+    diam = float(np.linalg.norm(mp_raw.max(0) - mp_raw.min(0)))
+    truths = []
+    centers = []
+    for _ in range(n_instances):
+        sel = rng.choice(len(mp_raw), size=n_inst_pts, replace=False)
+        # Spread instances at least a diameter apart so they don't merge.
+        while True:
+            t = rng.uniform(-2.5, 2.5, size=3).astype(np.float32)
+            if all(np.linalg.norm(t - c) > diam for c in centers):
+                break
+        centers.append(t)
+        sp, sn, T = synthetic.plant_model(rng, mp_raw[sel], mn_raw[sel],
+                                          sp, sn, translation=t)
+        truths.append(T)
+    return sp, sn, truths
 
 
 def _time(fn, args_list, warm):
@@ -110,6 +135,13 @@ def main():
         rng = np.random.default_rng(s)
         scenes.append(build_scene(rng, mp_raw, mn_raw))
     assert all(sp.shape[0] == 100_000 for sp, _, _ in scenes)
+
+    def validate_best(pose, truths, diameter, cfg_v):
+        """Winner must localize SOME planted instance (multi-instance
+        scene; single-pose output explains the strongest peak)."""
+        vs = [validation.validate_pose(pose, T, diameter, cfg_v)
+              for T in truths]
+        return min(vs, key=lambda v: v.rot_err + (0.0 if v.match else 1e3))
 
     cfg = PPFConfig(max_poses=1024, ref_point_df=5, engine="fast",
                     refine_icp=True)
@@ -187,7 +219,7 @@ def main():
     e2e_ms, e2e_corr_ms, vote_s, corr_s = [], [], [], []
     matches = []
     n_votes = None
-    for si, (sp, sn, T_true) in enumerate(scenes):
+    for si, (sp, sn, truths) in enumerate(scenes):
         sp_dev = jax.device_put(sp)
         sn_dev = jax.device_put(sn)
         args = rep_args(sp_dev, sn_dev)
@@ -205,10 +237,9 @@ def main():
         assert int(cres.num_votes) == nv
         n_votes = nv if n_votes is None else n_votes
 
-        v = validation.validate_pose(np.asarray(res.pose), T_true,
-                                     desc.diameter, cfg)
-        v_c = validation.validate_pose(np.asarray(res_c.pose), T_true,
-                                       desc.diameter, cfg)
+        v = validate_best(np.asarray(res.pose), truths, desc.diameter, cfg)
+        v_c = validate_best(np.asarray(res_c.pose), truths, desc.diameter,
+                            cfg)
         matches.append({
             "seed": si, "num_votes": nv,
             "match": bool(v.match), "trans_err": v.trans_err,

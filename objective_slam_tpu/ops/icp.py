@@ -33,6 +33,12 @@ class ICPResult(NamedTuple):
     inliers: jax.Array     # () int32 final inlier count
 
 
+# Scene-chunking budget for the NN distance tile (n_m × chunk f32): one
+# chunk when the whole tile fits, else 16k-point chunks. A sequential
+# lax.map over chunks costs ~per-chunk dispatch overhead on TPU, so for the
+# common case (hundreds of model points × a 100k scan ≈ 28M floats) the
+# single-tile path is markedly faster inside the 24-iteration loop.
+_NN_TILE_BUDGET = 64 * 1024 * 1024
 _NN_CHUNK = 16384
 
 
@@ -91,7 +97,8 @@ def refine_pose(model_points, scene_points, init_pose, *,
     max_sq = jnp.float32(max_dist) ** 2
 
     n_s = s.shape[0]
-    ch = min(_NN_CHUNK, n_s)
+    n_m = m.shape[0]
+    ch = n_s if n_m * n_s <= _NN_TILE_BUDGET else min(_NN_CHUNK, n_s)
     n_chunks = -(-n_s // ch)
     pad = n_chunks * ch - n_s
     s_p = jnp.concatenate([s, jnp.zeros((pad, 3), jnp.float32)])
