@@ -143,10 +143,14 @@ def main():
               for T in truths]
         return min(vs, key=lambda v: v.rot_err + (0.0 if v.match else 1e3))
 
-    cfg = PPFConfig(max_poses=1024, ref_point_df=5, engine="fast",
-                    refine_icp=True)
-    cfg_corr = PPFConfig(max_poses=1024, ref_point_df=5,
-                         engine="correlation", refine_icp=True)
+    # max_poses 512: survivors of the 0.4·max threshold number in the low
+    # hundreds on these scenes (topk_saturated guards the bound); ICP at 16
+    # iterations sits at ~1.5 deg — both chosen inside the accuracy budget.
+    cfg = PPFConfig(max_poses=512, ref_point_df=5, engine="fast",
+                    refine_icp=True, icp_iterations=16)
+    cfg_corr = PPFConfig(max_poses=512, ref_point_df=5,
+                         engine="correlation", refine_icp=True,
+                         icp_iterations=16)
     d_dist = cfg.tau_d * pc.bbox_diameter(mp_raw)
     mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
     # engine="correlation" builds fast (incl. block) AND correlation tables.
@@ -166,16 +170,18 @@ def main():
     _log(f"occupancies {occ}; capacity {vox_capacity}")
 
     # Exact count pass per seed -> static caps over all seeds.
-    totals, rowss = [], []
+    totals, rowss, segss = [], [], []
     for sp, sn, _ in scenes:
         vox = pc.voxel_downsample(sp, sn, scene_leaf, capacity=vox_capacity)
-        t, r = _count_votes(desc, vox.points, vox.normals,
-                            cfg.ref_point_df, cfg.d_angle)
+        t, r, g = _count_votes(desc, vox.points, vox.normals,
+                               cfg.ref_point_df, cfg.d_angle)
         totals.append(t)
         rowss.append(r)
+        segss.append(g)
     cap = drost._next_cap(
         (max(rowss) + voting_block.CHUNK_ROWS * n_ref) * 128)
-    _log(f"votes {totals}; rows {rowss}; cap {cap}")
+    seg_cap = drost._next_cap(max(max(segss), 1024))
+    _log(f"votes {totals}; rows {rowss}; segs {segss}; cap {cap}")
 
     def vox_of(raw_p, raw_n):
         return pc.voxel_downsample(raw_p, raw_n, scene_leaf,
@@ -192,7 +198,7 @@ def main():
                                vote_cap=cap if cfg_run.engine == "fast"
                                else 0,
                                config=cfg_run, icp_points=raw_p,
-                               icp_normals=raw_n)
+                               icp_normals=raw_n, seg_cap=seg_cap)
         return jax.jit(run)
 
     def stage_keys(raw_p, raw_n):
@@ -203,7 +209,7 @@ def main():
 
     vrun = jax.jit(lambda p, n: voting_block.cast_votes_block(
         *stage_keys(p, n), desc.fast_tables.block, desc.n_points,
-        cfg.d_angle, cap))
+        cfg.d_angle, cap, seg_cap=seg_cap))
     vrun_corr = jax.jit(lambda p, n: voting_corr.cast_votes_corr(
         stage_keys(p, n)[0], stage_keys(p, n)[1], desc.corr_tables,
         desc.n_points))

@@ -137,7 +137,8 @@ class MatchResult(NamedTuple):
 
 def _match_core(model: ModelDescription, scene_points, scene_normals,
                 *, ref_point_df: int, vote_cap: int, config: PPFConfig,
-                icp_points=None, icp_normals=None) -> MatchResult:
+                icp_points=None, icp_normals=None,
+                seg_cap: int | None = None) -> MatchResult:
     """The jitted matching pipeline (Model::ppf_lookup, model.cu:269-306).
 
     icp_points/icp_normals: optional full-resolution scene cloud for the
@@ -180,7 +181,7 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
             # slots by match() when the block tables are present.
             votes = voting_block.cast_votes_block(
                 keys, alpha_s, model.fast_tables.block, model.n_points,
-                config.d_angle, vote_cap)
+                config.d_angle, vote_cap, seg_cap=seg_cap)
         else:
             votes = voting_fast.cast_votes_fast(
                 keys, alpha_s, model.fast_tables, model.n_points,
@@ -254,13 +255,14 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ref_point_df", "vote_cap", "config"))
+                   static_argnames=("ref_point_df", "vote_cap", "config",
+                                    "seg_cap"))
 def _match_jit(model, scene_points, scene_normals, ref_point_df, vote_cap,
-               config, icp_points=None, icp_normals=None):
+               config, icp_points=None, icp_normals=None, seg_cap=None):
     return _match_core(model, scene_points, scene_normals,
                        ref_point_df=ref_point_df, vote_cap=vote_cap,
                        config=config, icp_points=icp_points,
-                       icp_normals=icp_normals)
+                       icp_normals=icp_normals, seg_cap=seg_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("ref_point_df", "d_angle"))
@@ -283,16 +285,19 @@ def _count_votes_rows_jit(model, scene_points, scene_normals, ref_point_df,
     cnt = jnp.where(valid, model.table.counts[jnp.where(valid, keys, 0)], 0)
     return (jnp.sum(cnt, axis=1, dtype=jnp.int32),
             jnp.sum(voting_block.rows_for_counts(cnt), axis=1,
-                    dtype=jnp.int32))
+                    dtype=jnp.int32),
+            jnp.sum((cnt > 0).astype(jnp.int32), axis=1, dtype=jnp.int32))
 
 
 def _count_votes(model, scene_points, scene_normals, ref_point_df,
-                 d_angle) -> tuple[int, int]:
-    """Host-side exact (total votes, total block-engine vote rows)."""
-    rows, brows = _count_votes_rows_jit(model, scene_points, scene_normals,
-                                        ref_point_df, d_angle)
+                 d_angle) -> tuple[int, int, int]:
+    """Host-side exact (total votes, total block-engine vote rows, total
+    nonzero scene-pair segments)."""
+    rows, brows, nsegs = _count_votes_rows_jit(
+        model, scene_points, scene_normals, ref_point_df, d_angle)
     return (int(np.asarray(rows, dtype=np.int64).sum()),
-            int(np.asarray(brows, dtype=np.int64).sum()))
+            int(np.asarray(brows, dtype=np.int64).sum()),
+            int(np.asarray(nsegs, dtype=np.int64).sum()))
 
 
 def _next_cap(x: int) -> int:
@@ -335,9 +340,11 @@ def match(model: ModelDescription, scene_points, scene_normals,
         raise ValueError(
             "engine='fast' requires fast_tables; build the model "
             "description with a fast/correlation config")
+    seg_cap = None
     if vote_cap is None:
-        total, total_rows = _count_votes(model, scene_points, scene_normals,
-                                         config.ref_point_df, config.d_angle)
+        total, total_rows, n_segs = _count_votes(
+            model, scene_points, scene_normals, config.ref_point_df,
+            config.d_angle)
         if config.engine == "fast":
             n_s = int(np.asarray(scene_points).shape[0])
             n_ref = (n_s + config.ref_point_df - 1) // config.ref_point_df
@@ -347,6 +354,10 @@ def match(model: ModelDescription, scene_points, scene_normals,
                 # row-alignment padding per reference row.
                 total = (total_rows
                          + voting_block.CHUNK_ROWS * n_ref) * 128
+                # Exact nonzero-segment count: every indexed step of the
+                # expansion runs at seg_cap scale, so size it tightly
+                # (bucketed for compile stability).
+                seg_cap = _next_cap(max(n_segs, 1024))
             else:
                 # Row-aligned padding in the fast tally consumes up to one
                 # chunk per reference row.
@@ -354,7 +365,8 @@ def match(model: ModelDescription, scene_points, scene_normals,
         vote_cap = _next_cap(total)
     return _match_jit(model, scene_points, scene_normals,
                       config.ref_point_df, int(vote_cap), config,
-                      icp_points=icp_points, icp_normals=icp_normals)
+                      icp_points=icp_points, icp_normals=icp_normals,
+                      seg_cap=seg_cap)
 
 
 def match_accumulator_only(model: ModelDescription, scene_points,

@@ -176,7 +176,8 @@ def rows_for_counts(cnt):
 
 def cast_votes_block(scene_keys, scene_alpha, tables: BlockTables,
                      n_model: int, d_angle: float, vote_cap: int,
-                     chunk_rows: int = CHUNK_ROWS) -> voting_ref.VoteResult:
+                     chunk_rows: int = CHUNK_ROWS,
+                     seg_cap: int | None = None) -> voting_ref.VoteResult:
     """Generate and tally votes (block-expansion exact engine).
 
     Tallies are bit-identical to voting_fast.cast_votes_fast (same vote set,
@@ -189,10 +190,17 @@ def cast_votes_block(scene_keys, scene_alpha, tables: BlockTables,
         Must cover sum(ceil(cnt/128))*128 per scene pair plus up to one
         chunk (chunk_rows*128 slots) of row-alignment padding per reference
         row (see drost.match sizing).
+      seg_cap: static bound on the number of NONZERO scene-pair segments
+        (pairs with at least one matching model pair). Every indexed step
+        of the expansion runs at this scale, so a tight bound (drost sizes
+        it exactly from the count pass) is a large win; None falls back to
+        row_cap (always sufficient: each nonzero segment occupies ≥ 1 vote
+        row). Exceeding it sets `overflowed`.
     """
     R, n = scene_keys.shape
     (pp, alpha_row, lanes_valid, row_start_p, total, overflow, row_cap) = \
-        _expand(scene_keys, scene_alpha, tables, vote_cap, chunk_rows)
+        _expand(scene_keys, scene_alpha, tables, vote_cap, chunk_rows,
+                seg_cap)
     acc = _tally(pp, alpha_row, lanes_valid,
                  r_of_chunk_start=row_start_p, R=R, n_model=n_model,
                  d_angle=d_angle, chunk_rows=chunk_rows, row_cap=row_cap)
@@ -201,7 +209,7 @@ def cast_votes_block(scene_keys, scene_alpha, tables: BlockTables,
 
 
 def _expand(scene_keys, scene_alpha, tables: BlockTables, vote_cap: int,
-            chunk_rows: int):
+            chunk_rows: int, seg_cap: int | None = None):
     """Dictionary match + row allocation + per-row fills + THE row gather.
 
     Returns (pp, alpha_row, lanes_valid, row_start_p, total, overflow,
@@ -210,6 +218,9 @@ def _expand(scene_keys, scene_alpha, tables: BlockTables, vote_cap: int,
     row_cap = _ceil_to(row_cap, chunk_rows)
     R, n = scene_keys.shape
     S = R * n
+    if seg_cap is None:
+        seg_cap = row_cap
+    seg_cap = min(_ceil_to(max(seg_cap, LANES), LANES), S)
     flat_keys = scene_keys.reshape(-1)
     flat_alpha = scene_alpha.reshape(-1)
 
@@ -246,31 +257,39 @@ def _expand(scene_keys, scene_alpha, tables: BlockTables, vote_cap: int,
                           * jnp.float32(_ALPHA_SCALE)).astype(jnp.int32)
     alpha_fix = jnp.clip(alpha_fix, 0, (1 << ALPHA_BITS) - 1)
 
-    # Stream-compact the nonzero segments (typically a few % of S) with ONE
-    # S-sized scatter of a 4-column payload; every later scatter then runs
-    # at segment scale. Each nonzero segment occupies ≥ 1 vote row, so
-    # row_cap is a static upper bound on the compact segment count (anything
-    # beyond it would overflow the row capacity anyway — flagged above).
+    # Stream-compact the nonzero segments (typically a few % of S). Every
+    # per-element indexed op on this TPU costs ~10-30 ns/element, so the
+    # compaction is an S-sized stable argsort of the zero/nonzero mask
+    # (sorts run at HBM bandwidth) followed by seg_cap-sized row gathers —
+    # NOT an S-sized scatter (which alone used to cost ~30 ms at 1.6M
+    # pairs).
     nz = crows > 0
-    pos = jnp.where(nz, jnp.cumsum(nz, dtype=jnp.int32) - 1, row_cap)
+    n_seg = jnp.sum(nz, dtype=jnp.int32)
+    seg_overflow = n_seg > seg_cap
+    starts = jnp.argsort(~nz, stable=True)[:seg_cap].astype(jnp.int32)
+    seg_ok = jnp.arange(seg_cap, dtype=jnp.int32) < n_seg
+    gidx = jnp.where(seg_ok, starts, 0)
     payload = jnp.stack([cnt, brs, alpha_fix, heads], axis=1)     # (S, 4)
-    compact = jnp.zeros((row_cap, 4), jnp.int32) \
-        .at[pos].set(payload, mode="drop")
+    compact = jnp.where(seg_ok[:, None], payload[gidx], 0)  # (seg_cap, 4)
     c_cnt = compact[:, 0]
     c_brs = compact[:, 1]
     c_alpha = compact[:, 2]
     c_heads = compact[:, 3]
-    c_nz = c_cnt > 0
-    head_idx = jnp.where(c_nz, c_heads, row_cap)
-    tail_idx = jnp.where(c_nz, c_heads + rows_for_counts(c_cnt), row_cap)
+    head_idx = jnp.where(seg_ok, c_heads, row_cap)
+    tail_idx = jnp.where(seg_ok, c_heads + rows_for_counts(c_cnt), row_cap)
 
-    def seg_fill(vals):
-        """Transport vals from each segment's head row through its tail row
-        (exclusive); exact integer cumsum-of-diffs, 0 outside segments."""
-        d = jnp.zeros((row_cap,), jnp.int32)
-        d = d.at[head_idx].add(vals, mode="drop")
-        d = d.at[tail_idx].add(-vals, mode="drop")
-        return jnp.cumsum(d, dtype=jnp.int32)
+    # All three per-row transports ride ONE pair of 3-wide scatters
+    # (scatter cost is per ROW, width is nearly free) + three cumsums:
+    # value v lives from head row through tail row (exclusive) via
+    # d[head] += v, d[tail] -= v, cumsum.
+    vals3 = jnp.stack([
+        jnp.where(seg_ok, c_cnt + c_heads * LANES, 0),
+        jnp.where(seg_ok, c_brs - c_heads, 0),
+        jnp.where(seg_ok, c_alpha, 0)], axis=1)               # (seg_cap, 3)
+    d3 = jnp.zeros((row_cap, 3), jnp.int32)
+    d3 = d3.at[head_idx].add(vals3, mode="drop")
+    d3 = d3.at[tail_idx].add(-vals3, mode="drop")
+    fills = jnp.cumsum(d3, axis=0, dtype=jnp.int32)           # (row_cap, 3)
 
     t_iota = jnp.arange(row_cap, dtype=jnp.int32)
     # Valid lanes in row t: cnt[s] − (t − head)·128, clipped to [0, 128].
@@ -278,15 +297,16 @@ def _expand(scene_keys, scene_alpha, tables: BlockTables, vote_cap: int,
     # value is ≥ 1 (the last row keeps 1..128 valid lanes); outside every
     # segment the fill is 0, so c_rem = −128·t ≤ 0 → 0 valid lanes. No
     # separate start/length fills are needed.
-    c_rem = seg_fill(jnp.where(c_nz, c_cnt + (c_heads * LANES), 0)) \
-        - t_iota * LANES
+    c_rem = fills[:, 0] - t_iota * LANES
     lanes_valid = jnp.clip(c_rem, 0, LANES)
 
     # src_row[t] = brs[s] + (t − head[s]): ride (brs − head), add iota.
-    src_row = seg_fill(jnp.where(c_nz, c_brs - c_heads, 0)) + t_iota
+    src_row = fills[:, 1] + t_iota
     src_row = jnp.where(lanes_valid > 0,
                         jnp.clip(src_row, 0, tables.n_rows - 1), 0)
-    alpha_row = seg_fill(jnp.where(c_nz, c_alpha, 0))
+    alpha_row = fills[:, 2]
+
+    overflow = overflow | seg_overflow
 
     # THE gather: one row-granular DMA per vote row.
     pp = jnp.take(tables.pair2d, src_row, axis=0)           # (row_cap, 128)

@@ -42,19 +42,23 @@ _ALPHA_SCALE = vf._ALPHA_SCALE
 
 
 @functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["occ_idx", "m3_dup"],
+                   data_fields=["occ_keys", "m3_dup"],
                    meta_fields=["k_occ", "n_angle"])
 @dataclasses.dataclass(frozen=True)
 class CorrTables:
     """Correlation-engine model tables.
 
-    occ_idx — rotation-packed lookup: packed key -> occupied-key rank, or
-              k_occ (sentinel row of zeros in m3) for unoccupied keys.
-    m3_dup  — (k_occ+1, 2·n_angle, n_m) f32: per-key α_m histogram over
-              model points, duplicated along the α axis so every shift is a
-              contiguous slice.
+    occ_keys — (K_pad,) int32 sorted occupied packed keys, pad −2. The
+               key → occupied-rank map is evaluated as a one-hot MXU
+               contraction against this dictionary (a packed per-element
+               table lookup costs the ~10 ns/element indexed-op floor —
+               it was 16 ms of a 33 ms engine at 1.6M pairs; the matmul
+               is ~2 ms).
+    m3_dup   — (k_occ+1, 2·n_angle, n_m) f32: per-key α_m histogram over
+               model points, duplicated along the α axis so every shift is
+               a contiguous slice.
     """
-    occ_idx: vf.PackedTable
+    occ_keys: jax.Array
     m3_dup: jax.Array
     k_occ: int
     n_angle: int
@@ -70,8 +74,9 @@ def build_corr_tables(table: voting_ref.KeyTable, n_model: int,
 
     occ_keys = np.nonzero(counts)[0]
     k_occ = len(occ_keys)
-    occ_lut = np.full(counts.shape[0], k_occ, np.int32)
-    occ_lut[occ_keys] = np.arange(k_occ, dtype=np.int32)
+    k_pad = max(((k_occ + 127) // 128) * 128, 128)
+    occ_dict = np.full((k_pad,), -2, np.int32)
+    occ_dict[:k_occ] = occ_keys.astype(np.int32)
 
     # Coarse α_m bins via the same fixed-point quantization as the fast
     # engine (consistency of bin edges between the two sides).
@@ -89,7 +94,7 @@ def build_corr_tables(table: voting_ref.KeyTable, n_model: int,
     m3_dup = np.concatenate([m3, m3], axis=1)        # (k_occ+1, 2n, n_m)
 
     return CorrTables(
-        occ_idx=vf.pack_table(occ_lut),
+        occ_keys=jnp.asarray(occ_dict),
         m3_dup=jnp.asarray(m3_dup),
         k_occ=k_occ, n_angle=n_angle)
 
@@ -118,15 +123,29 @@ def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
     flat_keys = scene_keys.reshape(-1)
     flat_alpha = scene_alpha.reshape(-1)
     valid = flat_keys != ppf_ops.INVALID_KEY
-    safe_keys = jnp.where(valid, flat_keys, 0)
 
+    # key -> occupied rank via one-hot dictionary matmul (chunked so the
+    # materialized one-hot stays bounded; INVALID_KEY matches nothing since
+    # pad entries are -2). rank payload is offset by +1 so "no match"
+    # (all-zero row) is distinguishable from rank 0.
     S = R * n
-    S_pad = vf._ceil_to(S, vf.LANES)
-    keys_q = jnp.concatenate(
-        [safe_keys, jnp.zeros((S_pad - S,), jnp.int32)]) \
-        .reshape(-1, vf.LANES)
-    occ = vf.packed_lookup(tables.occ_idx, keys_q).reshape(-1)[:S]
-    occ = jnp.where(valid, occ, tables.k_occ)
+    K_pad = tables.occ_keys.shape[0]
+    chunk = min(32768, vf._ceil_to(S, vf.LANES))
+    S_pad = vf._ceil_to(S, chunk)
+    keys_p = jnp.concatenate(
+        [flat_keys, jnp.full((S_pad - S,), ppf_ops.INVALID_KEY, jnp.int32)])
+    ranks1 = jnp.arange(1, K_pad + 1, dtype=jnp.float32)
+
+    def one(kc):
+        onehot = (kc[:, None] == tables.occ_keys[None, :]) \
+            .astype(jnp.float32)
+        return jnp.dot(onehot, ranks1,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    occ = jax.lax.map(one, keys_p.reshape(-1, chunk)).reshape(-1)[:S]
+    occ = occ.astype(jnp.int32) - 1
+    occ = jnp.where(occ >= 0, occ, tables.k_occ)
 
     a_fix = jnp.clip(jnp.round((flat_alpha + jnp.float32(math.pi))
                                * jnp.float32(_ALPHA_SCALE))

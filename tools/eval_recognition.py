@@ -136,8 +136,8 @@ def main():
                                 occlusion=max(occs), noise_rel=0.0,
                                 leaf=leaf)
         vox = pc.voxel_downsample(sp, sn, leaf, capacity=vox_capacity)
-        tot, rows = drost._count_votes(desc, vox.points, vox.normals,
-                                       cfg0.ref_point_df, cfg0.d_angle)
+        tot, rows, _ = drost._count_votes(desc, vox.points, vox.normals,
+                                          cfg0.ref_point_df, cfg0.d_angle)
         probe_caps.append((tot, rows))
     n_ref = (vox_capacity + cfg0.ref_point_df - 1) // cfg0.ref_point_df
     from objective_slam_tpu.ops import voting_block
