@@ -41,8 +41,8 @@ def main():
 
     rng = np.random.default_rng(0)
     mp_raw, mn_raw = benchmod.build_model(rng)
-    scene_raw, scene_nrm_raw, T_true = benchmod.build_scene(rng, mp_raw,
-                                                            mn_raw)
+    scene_raw, scene_nrm_raw, _truths = benchmod.build_scene(rng, mp_raw,
+                                                             mn_raw)
     cfg = PPFConfig(max_poses=1024, ref_point_df=5)
     d_dist = cfg.tau_d * pc.bbox_diameter(mp_raw)
     mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
@@ -52,10 +52,10 @@ def main():
           f"pair rows={bt.n_rows}", flush=True)
 
     vox = pc.voxel_downsample(scene_raw, scene_nrm_raw, d_dist,
-                              capacity=2304)
+                              capacity=2816)
     sp = jnp.asarray(vox.points)
     sn = jnp.asarray(vox.normals)
-    n = 2304
+    n = 2816
     ref_idx = jnp.arange(0, n, cfg.ref_point_df, dtype=jnp.int32)
     R = ref_idx.shape[0]
 
@@ -74,8 +74,10 @@ def main():
     cap = ((cap + vb.CHUNK_ROWS * 128 - 1)
            // (vb.CHUNK_ROWS * 128)) * (vb.CHUNK_ROWS * 128)
     nseg = int((cnt_h > 0).sum())
+    from objective_slam_tpu.models.drost import _next_cap
+    seg_cap = _next_cap(max(nseg, 1024))
     print(f"S={S} votes={total} rows={rows} nonzero segs={nseg} "
-          f"cap={cap} ({cap//128} rows)", flush=True)
+          f"seg_cap={seg_cap} cap={cap} ({cap//128} rows)", flush=True)
 
     # fresh inputs per rep: jitter the scene points (keeps sizes similar)
     REPS = 4
@@ -101,7 +103,8 @@ def main():
           flush=True)
 
     f_block = jax.jit(lambda p, q: vb.cast_votes_block(
-        *f_keys(p, q), bt, desc.n_points, cfg.d_angle, cap))
+        *f_keys(p, q), bt, desc.n_points, cfg.d_angle, cap,
+        seg_cap=seg_cap))
     dt_b = wall(f_block, scenes())
     votes_per_s = total / (dt_b - base)
     print(f"[block full]     {dt_b*1e3:9.1f} ms (delta {(dt_b-base)*1e3:7.1f})"
@@ -111,7 +114,8 @@ def main():
     f_exp = jax.jit(lambda p, q: jax.tree_util.tree_map(
         lambda x: jnp.sum(x.view(jnp.int32) if x.dtype == jnp.uint32 else
                           x.astype(jnp.int32), dtype=jnp.int32),
-        vb._expand(*f_keys(p, q), bt, cap, vb.CHUNK_ROWS)[:3]))
+        vb._expand(*f_keys(p, q), bt, cap, vb.CHUNK_ROWS,
+                   seg_cap)[:3]))
     dt_e = wall(f_exp, scenes())
     print(f"[keys+expand]    {dt_e*1e3:9.1f} ms (delta {(dt_e-dt)*1e3:7.1f}"
           f" over keys)", flush=True)

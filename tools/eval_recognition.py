@@ -124,28 +124,37 @@ def main():
     desc = ost.build_model_description(mp, mn, cfg0, d_dist=d_dist)
     leaf = d_dist
 
-    engines = ["fast", "reference", "correlation"]
-    cfgs = {e: PPFConfig(max_poses=512, ref_point_df=5, engine=e)
+    engines = ["fast", "reference", "correlation", "fast+rescore"]
+    cfgs = {e: PPFConfig(max_poses=512, ref_point_df=5,
+                         engine=e.split("+")[0],
+                         rescore_poses=e.endswith("+rescore"))
             for e in engines}
 
-    # Static vote capacity: probe a few trials, take the max, pad 2x.
+    # Static vote capacity: probe the vote-heaviest corners (occlusion 0 =
+    # full model instance; both noise extremes — noise spreads scene keys
+    # across more buckets and can RAISE the match count), take the max,
+    # pad 2x. Probing only the occluded/noiseless corner undersized the
+    # cap and overflowed 15 exact-engine runs in an earlier sweep.
     probe_caps = []
     for s in range(2):
-        rng = np.random.default_rng(1000 + s)
-        sp, sn, _ = build_trial(rng, mp_raw, mn_raw, n_total=n_total,
-                                occlusion=max(occs), noise_rel=0.0,
-                                leaf=leaf)
-        vox = pc.voxel_downsample(sp, sn, leaf, capacity=vox_capacity)
-        tot, rows, _ = drost._count_votes(desc, vox.points, vox.normals,
-                                          cfg0.ref_point_df, cfg0.d_angle)
-        probe_caps.append((tot, rows))
+        for noise_probe in (0.0, max(noises)):
+            rng = np.random.default_rng(1000 + s)
+            sp, sn, _ = build_trial(rng, mp_raw, mn_raw, n_total=n_total,
+                                    occlusion=0.0, noise_rel=noise_probe,
+                                    leaf=leaf)
+            vox = pc.voxel_downsample(sp, sn, leaf, capacity=vox_capacity)
+            tot, rows, _ = drost._count_votes(desc, vox.points, vox.normals,
+                                              cfg0.ref_point_df,
+                                              cfg0.d_angle)
+            probe_caps.append((tot, rows))
     n_ref = (vox_capacity + cfg0.ref_point_df - 1) // cfg0.ref_point_df
     from objective_slam_tpu.ops import voting_block
     cap_block = drost._next_cap(
         2 * max(r for _, r in probe_caps) * 128
         + voting_block.CHUNK_ROWS * n_ref * 128)
     cap_ref = drost._next_cap(2 * max(t for t, _ in probe_caps))
-    caps = {"fast": cap_block, "reference": cap_ref, "correlation": 0}
+    caps = {"fast": cap_block, "reference": cap_ref, "correlation": 0,
+            "fast+rescore": cap_block}
     print(f"[eval] caps: block {cap_block}, reference {cap_ref}",
           file=sys.stderr, flush=True)
 
