@@ -80,6 +80,11 @@ def configure_options(argv=None) -> argparse.Namespace:
     p.add_argument("--engine", type=str, default="fast",
                    choices=["fast", "reference", "correlation"],
                    help="voting engine (see PPFConfig.engine)")
+    p.add_argument("--use_fnv_keys", type=lambda s: s.lower() == "true",
+                   default=False,
+                   help="match through bit-exact FNV-1a feature hashes "
+                        "including the reference's collision behavior "
+                        "(parity mode; see PPFConfig.use_fnv_keys)")
     p.add_argument("--rescore_poses", type=lambda s: s.lower() == "true",
                    default=False,
                    help="re-rank threshold survivors by geometric inlier "
@@ -195,6 +200,7 @@ def _run(args) -> int:
         scene_leaf_size=args.scene_leaf_size,
         max_poses=args.max_poses,
         engine=args.engine,
+        use_fnv_keys=args.use_fnv_keys,
         rescore_poses=args.rescore_poses,
         cluster_center_cell=args.cluster_center_cell,
         refine_icp=args.icp_iterations > 0,

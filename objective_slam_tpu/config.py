@@ -80,9 +80,17 @@ class PPFConfig:
         matmul-only Hough voting (ops/voting_corr.py) whose cost is
         independent of the vote count; approximate (±1 α-bin transport,
         PARITY.md §10; recognition-equivalent at dataset scale — EVAL.md).
+      use_fnv_keys: operational FNV keying mode (ops/hashing.py): match
+        through bit-exact FNV-1a feature hashes INCLUDING the reference's
+        collision conflation and key-0 skip (kernel.cu:460-477, 467-470),
+        so vote tallies are comparable bucket-for-bucket against a
+        collision-afflicted reference run. Default False (injective packed
+        keys — a strict superset: no collisions). Composes with every
+        engine (the remap happens in key space).
     """
 
     engine: str = "fast"
+    use_fnv_keys: bool = False
     rescore_poses: bool = False
     refine_icp: bool = False
     icp_iterations: int = 24

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from objective_slam_tpu.config import PPFConfig
-from objective_slam_tpu.ops import (clustering, icp, ppf as ppf_ops,
+from objective_slam_tpu.ops import (clustering, hashing, icp,
+                                    ppf as ppf_ops,
                                     transforms as tr)
 from objective_slam_tpu.ops import (verify_pose, voting, voting_block,
                                     voting_corr, voting_fast)
@@ -41,7 +42,8 @@ from objective_slam_tpu.ops import (verify_pose, voting, voting_block,
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["points", "normals", "beta", "gamma", "vote_weights",
-                 "table", "d_dist", "fast_tables", "corr_tables"],
+                 "table", "d_dist", "fast_tables", "corr_tables",
+                 "fnv_remap"],
     meta_fields=["n_points", "num_keys", "max_dist_bin", "diameter"])
 @dataclasses.dataclass(frozen=True)
 class ModelDescription:
@@ -61,6 +63,8 @@ class ModelDescription:
     d_dist: jax.Array        # () float32
     fast_tables: object      # voting_fast.FastModelTables | None
     corr_tables: object      # voting_corr.CorrTables | None
+    fnv_remap: object        # hashing.FnvRemap | None (FNV keying mode:
+                             # table/engines keyed by FNV-bucket rank)
     # --- static metadata (python ints; stable across traces) ---
     n_points: int
     num_keys: int
@@ -76,6 +80,14 @@ def _build_device(pts, nrm, d_dist, d_angle, max_dist_bin, num_keys):
     table = voting.build_key_table(keys, alpha, num_keys)
     beta, gamma = tr.canonical_angles(pts, nrm)
     return table, beta, gamma
+
+
+@functools.partial(jax.jit, static_argnames=("d_angle", "max_dist_bin"))
+def _build_keys_device(pts, nrm, d_dist, d_angle, max_dist_bin):
+    keys, alpha = ppf_ops.pairwise_ppf_keys(
+        pts, nrm, d_dist, d_angle, max_dist_bin)
+    beta, gamma = tr.canonical_angles(pts, nrm)
+    return keys, alpha, beta, gamma
 
 
 def build_model_description(points, normals, config: PPFConfig = PPFConfig(),
@@ -98,9 +110,23 @@ def build_model_description(points, normals, config: PPFConfig = PPFConfig(),
     max_dist_bin = int(np.linalg.norm(bbox) / d_dist) + 1
     num_keys = ppf_ops.num_keys(max_dist_bin)
 
-    table, beta, gamma = _build_device(
-        jnp.asarray(pts), jnp.asarray(nrm), jnp.float32(d_dist),
-        config.d_angle, max_dist_bin, num_keys)
+    fnv_remap = None
+    if config.use_fnv_keys:
+        # FNV keying mode: remap packed keys to FNV-bucket ranks (hash
+        # collisions conflate buckets; hash 0 excluded) and key the table
+        # — and every engine built from it — by rank.
+        keys, alpha, beta, gamma = _build_keys_device(
+            jnp.asarray(pts), jnp.asarray(nrm), jnp.float32(d_dist),
+            config.d_angle, max_dist_bin)
+        fnv_remap = hashing.build_fnv_remap(keys, d_dist, config.d_angle)
+        num_keys = int(fnv_remap.occ_hashes.shape[0])
+        rkeys = hashing.fnv_remap_keys(keys, fnv_remap, d_dist,
+                                       config.d_angle)
+        table = voting.build_key_table(rkeys, alpha, num_keys)
+    else:
+        table, beta, gamma = _build_device(
+            jnp.asarray(pts), jnp.asarray(nrm), jnp.float32(d_dist),
+            config.d_angle, max_dist_bin, num_keys)
     if vote_weights is None:
         vote_weights = jnp.ones((n,), jnp.float32)
     fast_tables = (voting_fast.build_fast_tables(table)
@@ -113,6 +139,7 @@ def build_model_description(points, normals, config: PPFConfig = PPFConfig(),
         vote_weights=jnp.asarray(vote_weights, jnp.float32),
         table=table, d_dist=jnp.float32(d_dist),
         fast_tables=fast_tables, corr_tables=corr_tables,
+        fnv_remap=fnv_remap,
         n_points=n, num_keys=num_keys, max_dist_bin=max_dist_bin,
         diameter=diameter)
 
@@ -135,6 +162,19 @@ class MatchResult(NamedTuple):
                                # max_poses (voting.top_votes exactness flag)
 
 
+def _scene_keys(model: ModelDescription, scene_points, scene_normals,
+                ref_idx, d_angle):
+    """Scene pair keys + α_s in the model's key space — packed keys, or
+    FNV-bucket ranks when the description was built with use_fnv_keys."""
+    keys, alpha_s = ppf_ops.pairwise_ppf_keys(
+        scene_points, scene_normals, model.d_dist, d_angle,
+        model.max_dist_bin, ref_indices=ref_idx)
+    if model.fnv_remap is not None:
+        keys = hashing.fnv_remap_keys(keys, model.fnv_remap, model.d_dist,
+                                      d_angle)
+    return keys, alpha_s
+
+
 def _match_core(model: ModelDescription, scene_points, scene_normals,
                 *, ref_point_df: int, vote_cap: int, config: PPFConfig,
                 icp_points=None, icp_normals=None,
@@ -151,9 +191,8 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
     ref_idx = jnp.arange(0, n_s, ref_point_df, dtype=jnp.int32)
 
     # Scene PPFs (Scene ctor: ppf_kernel + hashing, scene.cu:24-55).
-    keys, alpha_s = ppf_ops.pairwise_ppf_keys(
-        scene_points, scene_normals, model.d_dist, config.d_angle,
-        model.max_dist_bin, ref_indices=ref_idx)
+    keys, alpha_s = _scene_keys(model, scene_points, scene_normals,
+                                ref_idx, config.d_angle)
 
     s_ref_pts = scene_points[ref_idx]
     s_ref_nrm = scene_normals[ref_idx]
@@ -278,9 +317,9 @@ def _count_votes_rows_jit(model, scene_points, scene_normals, ref_point_df,
     scene_points = jnp.asarray(scene_points, jnp.float32)
     n_s = scene_points.shape[0]
     ref_idx = jnp.arange(0, n_s, ref_point_df, dtype=jnp.int32)
-    keys, _ = ppf_ops.pairwise_ppf_keys(
-        scene_points, jnp.asarray(scene_normals, jnp.float32), model.d_dist,
-        d_angle, model.max_dist_bin, ref_indices=ref_idx)
+    keys, _ = _scene_keys(model, scene_points,
+                          jnp.asarray(scene_normals, jnp.float32),
+                          ref_idx, d_angle)
     valid = keys != ppf_ops.INVALID_KEY
     cnt = jnp.where(valid, model.table.counts[jnp.where(valid, keys, 0)], 0)
     return (jnp.sum(cnt, axis=1, dtype=jnp.int32),
@@ -382,9 +421,8 @@ def match_accumulator_only(model: ModelDescription, scene_points,
             model, scene_points, scene_normals, config.ref_point_df,
             config.d_angle)[0])
     ref_idx = jnp.arange(0, n_s, config.ref_point_df, dtype=jnp.int32)
-    keys, alpha_s = ppf_ops.pairwise_ppf_keys(
-        scene_points, scene_normals, model.d_dist, config.d_angle,
-        model.max_dist_bin, ref_indices=ref_idx)
+    keys, alpha_s = _scene_keys(model, scene_points, scene_normals,
+                                ref_idx, config.d_angle)
     return voting.cast_votes(keys, alpha_s, model.table, model.n_points,
                              config.d_angle, int(vote_cap))
 

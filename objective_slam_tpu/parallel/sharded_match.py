@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from objective_slam_tpu.config import PPFConfig
+from objective_slam_tpu.models import drost
 from objective_slam_tpu.models.drost import ModelDescription
 from objective_slam_tpu.ops import clustering, ppf as ppf_ops, transforms as tr
 from objective_slam_tpu.ops import (voting, voting_block, voting_corr,
@@ -76,9 +77,8 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
                           mdl: ModelDescription):
         """Per-shard: vote + local top-K + pose build. Runs under shard_map
         with ref_idx/pad_mask sharded, everything else replicated."""
-        keys, alpha_s = ppf_ops.pairwise_ppf_keys(
-            scene_points, scene_normals, mdl.d_dist, config.d_angle,
-            mdl.max_dist_bin, ref_indices=ref_idx)
+        keys, alpha_s = drost._scene_keys(mdl, scene_points, scene_normals,
+                                          ref_idx, config.d_angle)
         keys = jnp.where(pad_mask[:, None], ppf_ops.INVALID_KEY, keys)
         if config.engine == "correlation":
             if mdl.corr_tables is None:

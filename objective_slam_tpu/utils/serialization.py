@@ -15,9 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from objective_slam_tpu.models import drost
-from objective_slam_tpu.ops import voting, voting_corr, voting_fast
+from objective_slam_tpu.ops import hashing, voting, voting_corr, voting_fast
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def save_model_description(path, desc: drost.ModelDescription) -> None:
@@ -33,10 +33,16 @@ def save_model_description(path, desc: drost.ModelDescription) -> None:
         "has_corr_tables": desc.corr_tables is not None,
         "corr_n_angle": (desc.corr_tables.n_angle
                          if desc.corr_tables is not None else None),
+        "fnv_k_occ": (desc.fnv_remap.k_occ
+                      if desc.fnv_remap is not None else None),
     }
+    extra = {}
+    if desc.fnv_remap is not None:
+        extra["fnv_occ_hashes"] = np.asarray(desc.fnv_remap.occ_hashes)
     np.savez_compressed(
         path,
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        **extra,
         points=np.asarray(desc.points),
         normals=np.asarray(desc.normals),
         beta=np.asarray(desc.beta),
@@ -54,7 +60,7 @@ def save_model_description(path, desc: drost.ModelDescription) -> None:
 def load_model_description(path) -> drost.ModelDescription:
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
-        if meta["format_version"] not in (1, _FORMAT_VERSION):
+        if meta["format_version"] not in (1, 2, _FORMAT_VERSION):
             raise ValueError(
                 f"unsupported model description version "
                 f"{meta['format_version']}")
@@ -75,6 +81,11 @@ def load_model_description(path) -> drost.ModelDescription:
             corr_tables = voting_corr.build_corr_tables(
                 table, int(meta["n_points"]),
                 n_angle=int(meta["corr_n_angle"]))
+        fnv_remap = None
+        if meta.get("fnv_k_occ") is not None:
+            fnv_remap = hashing.FnvRemap(
+                occ_hashes=jnp.asarray(z["fnv_occ_hashes"]),
+                k_occ=int(meta["fnv_k_occ"]))
         return drost.ModelDescription(
             points=jnp.asarray(z["points"]),
             normals=jnp.asarray(z["normals"]),
@@ -84,6 +95,7 @@ def load_model_description(path) -> drost.ModelDescription:
             table=table,
             d_dist=jnp.asarray(z["d_dist"]),
             fast_tables=fast_tables, corr_tables=corr_tables,
+            fnv_remap=fnv_remap,
             n_points=int(meta["n_points"]),
             num_keys=int(meta["num_keys"]),
             max_dist_bin=int(meta["max_dist_bin"]),

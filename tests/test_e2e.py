@@ -189,3 +189,59 @@ def test_rescoring_preserves_easy_recovery(rng):
     cfg = PPFConfig(max_poses=256, rescore_poses=True)
     desc, res, T_true = _recover(rng, cfg)
     _check(desc, res, T_true, cfg)
+
+
+def test_fnv_keying_mode_recovers_pose(rng):
+    """Operational FNV keying (use_fnv_keys): the pipeline matches through
+    bit-exact FNV-1a feature hashes including the reference's collision
+    conflation (kernel.cu:460-477) — and still recovers the pose."""
+    cfg = PPFConfig(use_fnv_keys=True, max_poses=256)
+    mp, mn = synthetic.blob_cloud(rng, 110)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    desc = ost.build_model_description(mp, mn, cfg)
+    assert desc.fnv_remap is not None and desc.fnv_remap.k_occ > 0
+    res = ost.match(desc, sp, sn, cfg)
+    v = validation.validate_pose(np.asarray(res.pose), T_true,
+                                 desc.diameter, cfg)
+    assert v.match, (v.trans_err, v.rot_err)
+
+
+def test_fnv_mode_tallies_equal_packed_when_no_collisions(rng):
+    """With no FNV collisions among the occupied keys (checked), the FNV
+    remap is a bijection of the packed key space — accumulators must be
+    IDENTICAL to the packed-key pipeline."""
+    from objective_slam_tpu.ops import hashing, ppf as ppf_ops
+    mp, mn = synthetic.blob_cloud(rng, 90)
+    sp, sn, _ = synthetic.plant_model(rng, mp, mn)
+    cfg_p = PPFConfig(engine="reference", max_poses=128)
+    cfg_f = PPFConfig(engine="reference", max_poses=128, use_fnv_keys=True)
+    desc_p = ost.build_model_description(mp, mn, cfg_p)
+    desc_f = ost.build_model_description(mp, mn, cfg_f)
+    # Verify the premise: occupied packed keys hash collision-free.
+    occ = np.nonzero(np.asarray(desc_p.table.counts))[0].astype(np.int32)
+    h = np.asarray(hashing.packed_key_fnv(occ, float(desc_p.d_dist),
+                                          cfg_p.d_angle))
+    assert len(np.unique(h)) == len(h) and (h != 0).all(), \
+        "collision in this cloud; pick another seed"
+    rp = ost.match(desc_p, sp, sn, cfg_p)
+    rf = ost.match(desc_f, sp, sn, cfg_f)
+    np.testing.assert_array_equal(np.asarray(rp.accumulator),
+                                  np.asarray(rf.accumulator))
+    assert int(rp.num_votes) == int(rf.num_votes)
+
+
+def test_fnv_mode_serialization_roundtrip(tmp_path, rng):
+    from objective_slam_tpu.utils import serialization
+    cfg = PPFConfig(use_fnv_keys=True, max_poses=128)
+    mp, mn = synthetic.blob_cloud(rng, 80)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    desc = ost.build_model_description(mp, mn, cfg)
+    path = tmp_path / "fnv_model.npz"
+    serialization.save_model_description(path, desc)
+    loaded = serialization.load_model_description(path)
+    assert loaded.fnv_remap is not None
+    assert loaded.fnv_remap.k_occ == desc.fnv_remap.k_occ
+    r0 = ost.match(desc, sp, sn, cfg)
+    r1 = ost.match(loaded, sp, sn, cfg)
+    np.testing.assert_array_equal(np.asarray(r0.accumulator),
+                                  np.asarray(r1.accumulator))

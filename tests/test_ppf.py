@@ -202,3 +202,52 @@ def test_keys_translation_invariance(rng):
     # noise from the shifted coordinates.
     assert (np.asarray(k1) == np.asarray(k2)).mean() > 0.97
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-3)
+
+
+def test_packed_key_fnv_matches_quantized_feature_hash(rng):
+    """packed_key_fnv reconstructs bin·step floats bit-equal to quant_downf
+    outputs, so its hash must equal FNV over the quantized feature floats —
+    the reference's ppf_hash_kernel input (kernel.cu:460-477)."""
+    pts, nrm = random_cloud(rng, 24)
+    d_dist = 0.3
+    keys, _ = ppf.pairwise_ppf_keys(pts, nrm, d_dist, D_ANGLE, 64)
+    f = ppf.compute_ppf(pts[:, None, :], nrm[:, None, :],
+                        pts[None, :, :], nrm[None, :, :])
+    q = np.asarray(ppf.disc_feature(f, d_dist, D_ANGLE))
+    got = np.asarray(hashing.packed_key_fnv(keys, d_dist, D_ANGLE))
+    k = np.asarray(keys)
+    valid = k != ppf.INVALID_KEY
+    expect = np.asarray(hashing.fnv1a_float4(jnp.asarray(q)))
+    np.testing.assert_array_equal(got[valid], expect[valid])
+    assert (got[~valid] == 0).all()
+
+
+def test_fnv_remap_conflates_collisions(rng):
+    """Two distinct packed keys with colliding FNV hashes must map to the
+    SAME rank (the reference's collision conflation). Collisions are found
+    by brute force over a realistic key space (birthday: ~200k keys in
+    2^32 leave a few)."""
+    d_dist, max_db = 0.25, 60
+    n_keys = ppf.num_keys(max_db)
+    all_keys = jnp.arange(n_keys, dtype=jnp.int32)
+    h = np.asarray(hashing.packed_key_fnv(all_keys, d_dist, D_ANGLE))
+    order = np.argsort(h)
+    hs = h[order]
+    dup = np.nonzero((hs[1:] == hs[:-1]) & (hs[1:] != 0))[0]
+    if len(dup) == 0:
+        import pytest
+        pytest.skip("no FNV collision in this key space")
+    k1 = int(order[dup[0]])
+    k2 = int(order[dup[0] + 1])
+    assert k1 != k2 and h[k1] == h[k2]
+    model_keys = jnp.asarray([[k1, k2, 17]], jnp.int32)
+    remap = hashing.build_fnv_remap(model_keys, d_dist, D_ANGLE)
+    rk = np.asarray(hashing.fnv_remap_keys(model_keys, remap, d_dist,
+                                           D_ANGLE))[0]
+    assert rk[0] == rk[1], rk          # conflated bucket
+    assert rk[2] != rk[0]              # distinct feature, distinct bucket
+    # A key absent from the model maps to INVALID.
+    probe = jnp.asarray([[k1, 23]], jnp.int32)
+    rp = np.asarray(hashing.fnv_remap_keys(probe, remap, d_dist,
+                                           D_ANGLE))[0]
+    assert rp[0] == rk[0] and rp[1] == ppf.INVALID_KEY

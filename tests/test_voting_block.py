@@ -122,7 +122,8 @@ def test_match_e2e_block_vs_legacy(rng):
         gamma=desc.gamma, vote_weights=desc.vote_weights, table=desc.table,
         d_dist=desc.d_dist,
         fast_tables=desc.fast_tables._replace(block=None),
-        corr_tables=None, n_points=desc.n_points, num_keys=desc.num_keys,
+        corr_tables=None, fnv_remap=None, n_points=desc.n_points,
+        num_keys=desc.num_keys,
         max_dist_bin=desc.max_dist_bin, diameter=desc.diameter)
     res_legacy = drost.match(desc_legacy, scene, scene_n, cfg)
     np.testing.assert_array_equal(np.asarray(res.accumulator),
