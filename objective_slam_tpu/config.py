@@ -63,11 +63,15 @@ class PPFConfig:
         against a full-resolution scan converges below 1° given enough
         iterations. Default False (point-to-point); enable for smooth
         real scans where the centroid bias is below the noise floor.
-      rescore_poses: if True, re-rank the threshold-surviving candidate
-        poses by geometric inlier score (fraction of model points within
-        d_dist of a scene point) and pick the best — a standard PPF
-        verification stage absent from the reference; fixes Hough-peak
-        aliasing for near-symmetric models (ops/verify_pose.py).
+      rescore_poses: if True, re-rank candidate poses by geometric inlier
+        score (fraction of model points within d_dist of a scene point) —
+        a standard PPF verification stage absent from the reference; fixes
+        Hough-peak aliasing for near-symmetric models (ops/verify_pose.py).
+        Only candidates whose clustered vote count is within
+        rescore_min_vote_frac of the winner compete: re-ranking ALL
+        survivors lets a fully-visible distractor outscore an occluded
+        true instance (EVAL.md §4).
+      rescore_min_vote_frac: the near-tie threshold for the above.
       engine: voting engine. "fast" = the TPU-native exact hot path —
         block-expansion voting (ops/voting_block.py: occupied-key
         dictionary matmul + bucket-row gather + fused Pallas tally) when
@@ -92,6 +96,7 @@ class PPFConfig:
     engine: str = "fast"
     use_fnv_keys: bool = False
     rescore_poses: bool = False
+    rescore_min_vote_frac: float = 0.7
     refine_icp: bool = False
     icp_iterations: int = 24
     icp_max_dist_factor: float = 2.0

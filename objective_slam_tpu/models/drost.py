@@ -254,14 +254,26 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
         use_l1_norm=config.use_l1_norm,
         use_averaged_clusters=config.use_averaged_clusters)
     if config.rescore_poses:
-        # Geometric verification (ops/verify_pose.py): winner = the
-        # threshold survivor explaining the most model points, using the
-        # cluster-averaged translations.
+        # Geometric verification (ops/verify_pose.py) restricted to
+        # NEAR-TIED Hough peaks: re-ranking all survivors by inlier
+        # fraction lets a fully-visible distractor outscore an occluded
+        # true instance (measured 82%→18% at 30% occlusion, EVAL.md §4);
+        # the stage exists to break symmetric-model vote aliasing, where
+        # the aliased peaks have near-equal clustered counts.
+        near = cl.vote_counts >= (jnp.float32(config.rescore_min_vote_frac)
+                                  * jnp.max(cl.vote_counts))
         cand = poses.at[:, :3, 3].set(cl.translations)
         scores = verify_pose.inlier_scores(
-            cand, top.keep, model.points, scene_points, model.d_dist,
+            cand, top.keep & near, model.points, scene_points,
+            model.d_dist,
             model_normals=model.normals, scene_normals=scene_normals)
-        win = jnp.argmax(scores)
+        # Combine Hough evidence with the geometric score instead of
+        # replacing it: vote counts carry the occlusion-robust support
+        # (an occluded instance's inlier FRACTION is intrinsically low),
+        # the score breaks near-ties between aliased symmetric peaks.
+        combined = jnp.where(top.keep & near,
+                             cl.vote_counts * (1.0 + scores), -1.0)
+        win = jnp.argmax(combined)
         pose = cand[win]
     else:
         win = jnp.argmax(cl.vote_counts)
