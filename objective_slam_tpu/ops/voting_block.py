@@ -374,24 +374,28 @@ def _tally(pp, alpha_row, lanes_valid, r_of_chunk_start, R, n_model,
                     a_vec = jnp.where(in_g, a_ref[0, 0, g * GROW + j], a_vec)
                     l_vec = jnp.where(in_g, l_ref[0, 0, g * GROW + j], l_vec)
                 m, a_bin = _unpack_bin(pr, a_vec, n_angle)
-                ok = lane_in_row < l_vec
-                oa_t = (a_bin == iota_a).astype(jnp.bfloat16)
+                ok = lane_in_row < l_vec                         # (1, K)
                 # Two-level m one-hot: compare the 7 low bits against a
-                # 128-row iota once, then mask per 128-point group — 128+H
-                # compares per slot instead of m_pad.
+                # 128-row iota ONCE (the wide side is built exactly once);
+                # the per-128-point-group mask (m_hi == h) and the lane
+                # validity fold into the NARROW (A, K) α one-hot — per
+                # slot that is 128 + A + H·(A+1) ops instead of
+                # 128 + H·(128·2) for masking the wide side per part.
                 m_lo = m & 127
-                om_lo = (m_lo == iota_lo) & ok
+                om_lo = (m_lo == iota_lo).astype(jnp.bfloat16)   # (128, K)
+                oa_ok = ((a_bin == iota_a) & ok).astype(jnp.bfloat16)
                 if H == 1:
-                    parts = (om_lo.astype(jnp.bfloat16),)
+                    oa_parts = (oa_ok,)
                 else:
                     m_hi = jax.lax.shift_right_logical(m, 7)
-                    parts = tuple((om_lo & (m_hi == h)).astype(jnp.bfloat16)
-                                  for h in range(H))
+                    oa_parts = tuple(
+                        oa_ok * (m_hi == h).astype(jnp.bfloat16)
+                        for h in range(H))
                 return tuple(
                     acc + jax.lax.dot_general(
-                        om_h, oa_t, (((1,), (1,)), ((), ())),
+                        om_lo, oa_h, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    for acc, om_h in zip(accs, parts))
+                    for acc, oa_h in zip(accs, oa_parts))
 
             accs = jax.lax.fori_loop(
                 0, n_grp, group,
