@@ -7,12 +7,22 @@ This module provides that capability TPU-natively:
 
   * `TSDFVolume` — a dense truncated-signed-distance voxel grid (static
     shape, jit-friendly pytree);
-  * `integrate` — fuse a point cloud (with normals) by splatting signed
-    distances along each point's normal into the truncation band
-    (point-based TSDF update; weighted running average per voxel, the
-    standard KinFu update rule);
+  * `integrate_depth` — the KinFu sensor-model update (voxel-projective
+    TSDF, Newcombe et al. 2011): every voxel projects into the depth
+    image, sdf = measured depth − voxel depth, truncated update with
+    clamped running-average weights. Voxels IN FRONT of the measured
+    surface receive positive updates — **free-space carving**: spurious
+    geometry from earlier frames is erased by later observations. Dense
+    over the volume (one gather per voxel into the depth image; no
+    scatter), which is the TPU-native formulation;
+  * `integrate` — point-splat fallback for cloud-only input (no camera
+    model): each point splats signed distances along its normal into the
+    truncation band. No carving — use integrate_depth when depth images
+    and camera poses exist;
   * `extract_surface` — zero-crossing voxels back to a point cloud with
-    central-difference gradient normals (static capacity + validity mask);
+    gradient-oriented k-NN PCA normals (static capacity + validity mask);
+  * `raycast_depth` — synthesize a depth map from the volume by fixed-step
+    ray marching with zero-crossing interpolation (KinFu's tracking view);
   * `StreamingRecognizer` — fuse frames as they arrive and re-run Drost
     matching against the fused surface.
 """
@@ -98,6 +108,126 @@ def integrate(volume: TSDFVolume, points, normals, n_band: int = 7
     return dataclasses.replace(volume, tsdf=new_tsdf, weight=new_w)
 
 
+def _voxel_centers(volume: TSDFVolume):
+    D, H, W = volume.dims
+    ii = jnp.arange(D, dtype=jnp.float32)
+    jj = jnp.arange(H, dtype=jnp.float32)
+    kk = jnp.arange(W, dtype=jnp.float32)
+    gi, gj, gk = jnp.meshgrid(ii, jj, kk, indexing="ij")
+    return (jnp.stack([gi, gj, gk], axis=-1) + 0.5) * volume.voxel_size \
+        + volume.origin                                      # (D, H, W, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("w_max",))
+def integrate_depth(volume: TSDFVolume, depth, intrinsics, T_cw,
+                    w_max: float = 64.0) -> TSDFVolume:
+    """KinFu voxel-projective TSDF update (the sensor-model fusion rule).
+
+    Every voxel center projects into the depth image; its signed distance
+    is sdf = D(u,v) − z_cam along the optical axis (the standard projective
+    approximation). Updates apply wherever the projection is valid and
+    sdf > −τ, so voxels BETWEEN the camera and the surface accumulate
+    positive (free-space) evidence — spurious geometry gets carved away,
+    which the point-splat `integrate` cannot do. Dense over the volume:
+    one depth-image gather per voxel, no scatter.
+
+    Args:
+      depth: (h, w) float32 metric depth; 0 / non-finite = no measurement.
+      intrinsics: (fx, fy, cx, cy).
+      T_cw: (4, 4) WORLD→CAMERA transform of this frame.
+      w_max: weight clamp of the running average (KinFu caps integration
+        weights so the volume stays adaptive to change).
+    """
+    depth = jnp.asarray(depth, jnp.float32)
+    h, w = depth.shape
+    fx, fy, cx, cy = (jnp.float32(v) for v in intrinsics)
+    T = jnp.asarray(T_cw, jnp.float32)
+    tau = jnp.float32(volume.truncation)
+
+    pw = _voxel_centers(volume)                              # (D, H, W, 3)
+    pc = jnp.einsum("ij,dhwj->dhwi", T[:3, :3], pw,
+                    precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    u = jnp.round(fx * x / jnp.maximum(z, 1e-9) + cx).astype(jnp.int32)
+    v = jnp.round(fy * y / jnp.maximum(z, 1e-9) + cy).astype(jnp.int32)
+    in_img = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    d_meas = depth[jnp.clip(v, 0, h - 1), jnp.clip(u, 0, w - 1)]
+    has_meas = in_img & jnp.isfinite(d_meas) & (d_meas > 0)
+
+    sdf = d_meas - z
+    update = has_meas & (sdf > -tau)
+    tsdf_obs = jnp.clip(sdf, -tau, tau)
+
+    w_old = volume.weight
+    w_new = jnp.where(update, jnp.minimum(w_old + 1.0, w_max), w_old)
+    # Running average; w_old == 0 reduces to t_new = tsdf_obs (the +1
+    # "empty" prior of unobserved voxels carries zero weight).
+    t_new = jnp.where(
+        update,
+        (volume.tsdf * w_old + tsdf_obs) / (w_old + 1.0),
+        volume.tsdf)
+    t_new = jnp.clip(t_new, -tau, tau)
+    return dataclasses.replace(volume, tsdf=t_new, weight=w_new)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "n_steps"))
+def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
+                  t_near: float = 0.1, t_far: float = 6.0,
+                  n_steps: int = 192):
+    """Synthesize a depth map from the volume (KinFu's raycast view):
+    per-pixel fixed-step march along the camera ray; depth = first
+    positive→negative TSDF zero crossing, linearly interpolated. Returns
+    (h, w) float32 depth; 0 where no crossing.
+
+    T_wc: (4, 4) CAMERA→WORLD transform (inverse of integrate_depth's)."""
+    h, w = shape
+    fx, fy, cx, cy = (jnp.float32(v) for v in intrinsics)
+    T = jnp.asarray(T_wc, jnp.float32)
+    D, H, W = volume.dims
+
+    uu = jnp.arange(w, dtype=jnp.float32)
+    vv = jnp.arange(h, dtype=jnp.float32)
+    gu, gv = jnp.meshgrid(uu, vv, indexing="xy")             # (h, w)
+    dirs_c = jnp.stack([(gu - cx) / fx, (gv - cy) / fy,
+                        jnp.ones_like(gu)], axis=-1)         # (h, w, 3)
+    dirs_w = jnp.einsum("ij,hwj->hwi", T[:3, :3], dirs_c,
+                        precision=jax.lax.Precision.HIGHEST)
+    org_w = T[:3, 3]
+
+    ts = jnp.linspace(t_near, t_far, n_steps).astype(jnp.float32)
+    dt = ts[1] - ts[0]
+
+    def sample(t_scalar):
+        pos = org_w + dirs_w * t_scalar                      # (h, w, 3)
+        ijk = jnp.floor((pos - volume.origin) / volume.voxel_size) \
+            .astype(jnp.int32)
+        inside = ((ijk[..., 0] >= 0) & (ijk[..., 0] < D) &
+                  (ijk[..., 1] >= 0) & (ijk[..., 1] < H) &
+                  (ijk[..., 2] >= 0) & (ijk[..., 2] < W))
+        ci = jnp.clip(ijk[..., 0], 0, D - 1)
+        cj = jnp.clip(ijk[..., 1], 0, H - 1)
+        ck = jnp.clip(ijk[..., 2], 0, W - 1)
+        tv = volume.tsdf[ci, cj, ck]
+        wv = volume.weight[ci, cj, ck]
+        # Outside / unobserved reads as "empty" (+τ): no crossing there.
+        return jnp.where(inside & (wv > 0), tv,
+                         jnp.float32(volume.truncation))
+
+    def step(carry, t_scalar):
+        prev_t, prev_v, hit_depth = carry
+        v_now = sample(t_scalar)
+        crossed = (prev_v > 0) & (v_now <= 0) & (hit_depth == 0.0)
+        frac = prev_v / jnp.maximum(prev_v - v_now, 1e-9)
+        d_hit = prev_t + frac * dt
+        hit_depth = jnp.where(crossed, d_hit, hit_depth)
+        return (t_scalar, v_now, hit_depth), None
+
+    init = (jnp.float32(t_near), sample(jnp.float32(t_near)),
+            jnp.zeros((h, w), jnp.float32))
+    (_, _, hit), _ = jax.lax.scan(step, init, ts[1:])
+    return hit
+
+
 class Surface(NamedTuple):
     points: jax.Array      # (capacity, 3) voxel centers near the surface
     normals: jax.Array     # (capacity, 3) TSDF gradient normals
@@ -169,13 +299,36 @@ class StreamingRecognizer:
         self.volume = integrate(self.volume, points, normals)
         self.frames += 1
 
+    def integrate_depth_frame(self, depth, intrinsics, T_cw) -> None:
+        """Sensor-model fusion of one depth image (with free-space
+        carving); T_cw is the frame's world→camera transform."""
+        self.volume = integrate_depth(self.volume, depth, intrinsics, T_cw)
+        self.frames += 1
+
     def surface(self) -> Surface:
         return extract_surface(self.volume, self.surface_capacity)
 
     def recognize(self, names=None) -> dict[str, drost.MatchResult]:
+        from objective_slam_tpu.utils import pointcloud as pc
         surf = self.surface()
+        # Drop the far-sentinel padding rows BEFORE voxelizing: a bbox
+        # spanning the 1e7 sentinel overflows the int32 cell keys.
+        ok = np.asarray(surf.valid)
+        pts = np.asarray(surf.points)[ok]
+        nrm = np.asarray(surf.normals)[ok]
         out = {}
         for name in (names or self.models):
-            out[name] = drost.match(self.models[name], surf.points,
-                                    surf.normals, self.config)
+            desc = self.models[name]
+            # The matcher expects a d_dist-sampled scene (the reference
+            # re-downsamples the scene per model, ppf.cu:64-67); the raw
+            # fused surface is at voxel_size resolution — matching it
+            # directly explodes bucket sizes and the vote count. ICP then
+            # refines against the full-resolution surface.
+            if float(desc.d_dist) > 1.5 * self.volume.voxel_size:
+                vp, vn = pc.voxel_downsample_np(pts, nrm,
+                                                float(desc.d_dist))
+            else:
+                vp, vn = pts, nrm
+            out[name] = drost.match(desc, vp, vn, self.config,
+                                    icp_points=pts, icp_normals=nrm)
         return out

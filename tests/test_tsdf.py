@@ -83,3 +83,146 @@ def test_streaming_recognition(rng):
                                  rec.models["blob"].diameter, cfg)
     # Fused-surface quantization costs accuracy; require the match criteria.
     assert v.match, (v.trans_err, math.degrees(v.rot_err))
+
+
+def _depth_sphere(rng, n, r=0.8, center=(1.6, 1.6, 1.6)):
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return (v * r + np.asarray(center)).astype(np.float32), \
+        v.astype(np.float32)
+
+
+_INTR = (160.0, 160.0, 80.0, 60.0)    # fx fy cx cy for a 120x160 image
+_SHAPE = (120, 160)
+
+
+def test_integrate_depth_reconstructs_sphere(rng):
+    """Sensor-model fusion: depth images of a sphere from several views →
+    fused zero-crossing surface lies on the sphere."""
+    sp, _ = _depth_sphere(rng, 60_000)
+    vol = tsdf.make_volume(origin=(0.0, 0.0, 0.0), dims=(64, 64, 64),
+                           voxel_size=0.05)
+    center = np.float32([1.6, 1.6, 1.6])
+    for az in (0.0, 2.1, 4.2):
+        eye = center + 2.2 * np.float32([math.cos(az), math.sin(az), 0.3])
+        T_cw = synthetic.look_at(eye, center)
+        depth = synthetic.render_depth(sp, T_cw, _INTR, _SHAPE)
+        assert (depth > 0).mean() > 0.05
+        vol = tsdf.integrate_depth(vol, depth, _INTR, T_cw)
+    surf = tsdf.extract_surface(vol, capacity=4096)
+    pts = np.asarray(surf.points)[np.asarray(surf.valid)]
+    assert len(pts) > 300
+    radii = np.linalg.norm(pts - center, axis=1)
+    # Surface voxels within ~a voxel of the true sphere.
+    assert abs(np.median(radii) - 0.8) < 0.08, np.median(radii)
+    assert np.quantile(np.abs(radii - 0.8), 0.9) < 0.12
+
+
+def test_integrate_depth_carves_free_space(rng):
+    """The projective update must ERASE spurious geometry: a blob fused in
+    frame 1 that later frames see through (their depth measures the wall
+    BEHIND its location) gets positive free-space updates and disappears
+    from the surface. The point-splat integrate cannot do this."""
+    center = np.float32([1.6, 1.6, 1.6])
+    wall_y = 2.79
+    # Wall: a plane behind the spurious blob (seen by all frames).
+    gx, gz = np.meshgrid(np.linspace(0.3, 2.9, 160),
+                         np.linspace(0.3, 2.9, 160))
+    wall = np.stack([gx.ravel(), np.full(gx.size, wall_y), gz.ravel()],
+                    axis=1).astype(np.float32)
+    # Spurious blob floating between camera and wall.
+    blob, _ = _depth_sphere(rng, 4000, r=0.25, center=(1.6, 1.6, 1.6))
+
+    vol = tsdf.make_volume(origin=(0.0, 0.0, 0.0), dims=(64, 64, 64),
+                           voxel_size=0.05)
+    eye = center + np.float32([0.0, -2.2, 0.0])
+    T_cw = synthetic.look_at(eye, center)
+    # Frame 1: wall + spurious blob.
+    d1 = synthetic.render_depth(np.concatenate([wall, blob]), T_cw, _INTR,
+                                _SHAPE)
+    vol = tsdf.integrate_depth(vol, d1, _INTR, T_cw)
+    # Probe a voxel on the blob's camera-facing SURFACE (its center is
+    # deeper than the truncation band and is never written): camera looks
+    # along +y, front shell at y = 1.6 - 0.25 -> voxel j = 27.
+    t_front = float(vol.tsdf[32, 27, 32])
+    assert abs(t_front) < 0.06, t_front                     # blob present
+
+    # Frames 2-9: wall only — rays pass THROUGH the blob location.
+    d2 = synthetic.render_depth(wall, T_cw, _INTR, _SHAPE)
+    for _ in range(8):
+        vol = tsdf.integrate_depth(vol, d2, _INTR, T_cw)
+    # Blob-front voxels carved back toward free space (positive tsdf).
+    assert float(vol.tsdf[32, 27, 32]) > 0.05
+    surf = tsdf.extract_surface(vol, capacity=8192)
+    pts = np.asarray(surf.points)[np.asarray(surf.valid)]
+    near_blob = np.linalg.norm(pts - center, axis=1) < 0.32
+    assert near_blob.sum() == 0, near_blob.sum()
+    # The wall itself survives.
+    assert (np.abs(pts[:, 1] - wall_y) < 0.1).mean() > 0.8
+
+
+def test_raycast_depth_roundtrip(rng):
+    """raycast_depth of a fused volume returns the measured depth at hit
+    pixels (within a voxel)."""
+    sp, _ = _depth_sphere(rng, 60_000)
+    vol = tsdf.make_volume(origin=(0.0, 0.0, 0.0), dims=(64, 64, 64),
+                           voxel_size=0.05)
+    center = np.float32([1.6, 1.6, 1.6])
+    eye = center + np.float32([0.0, -2.2, 0.2])
+    T_cw = synthetic.look_at(eye, center)
+    depth = synthetic.render_depth(sp, T_cw, _INTR, _SHAPE)
+    vol = tsdf.integrate_depth(vol, depth, _INTR, T_cw)
+    T_wc = np.linalg.inv(np.asarray(T_cw, np.float64)).astype(np.float32)
+    cast = np.asarray(tsdf.raycast_depth(vol, _INTR, T_wc, _SHAPE,
+                                         t_near=0.5, t_far=4.0))
+    both = (depth > 0) & (cast > 0)
+    assert both.mean() > 0.04
+    err = np.abs(cast[both] - depth[both])
+    assert np.median(err) < 0.06, np.median(err)
+
+
+def test_streaming_recognizer_depth_frames(rng):
+    """StreamingRecognizer.integrate_depth_frame: recognize a planted model
+    from a depth-fused surface. The model description is built through the
+    SAME sensing pipeline (depth-fuse the model into its own volume,
+    extract) so both sides share TSDF sampling density and normal
+    convention — the deployment workflow for sensor streams."""
+    mp, _ = synthetic.blob_cloud(rng, 6000, bumps=0.5)
+    scale = 0.5
+    mp = (mp * scale).astype(np.float32)
+    cfg = PPFConfig(ref_point_df=2, max_poses=512)
+    center = np.float32([1.6, 1.6, 1.6])
+    sp = mp + center                      # planted at known translation
+    T_true = np.eye(4, dtype=np.float32)
+    T_true[:3, 3] = center
+
+    def fuse_views(cloud, vol):
+        for az in (0.4, 2.5, 4.6):
+            eye = center + 1.8 * np.float32([math.cos(az), math.sin(az),
+                                             0.35])
+            T_cw = synthetic.look_at(eye, center)
+            depth = synthetic.render_depth(cloud, T_cw, _INTR, _SHAPE)
+            vol = tsdf.integrate_depth(vol, depth, _INTR, T_cw)
+        return vol
+
+    mvol = fuse_views(sp, tsdf.make_volume(origin=(0.0, 0.0, 0.0),
+                                           dims=(64, 64, 64),
+                                           voxel_size=0.04))
+    msurf = tsdf.extract_surface(mvol, capacity=2048)
+    mpts = np.asarray(msurf.points)[np.asarray(msurf.valid)] - center
+    mnrm = np.asarray(msurf.normals)[np.asarray(msurf.valid)]
+    desc = ost.build_model_description(mpts, mnrm, cfg)
+
+    vol = tsdf.make_volume(origin=(0.0, 0.0, 0.0), dims=(64, 64, 64),
+                           voxel_size=0.04)
+    rec = tsdf.StreamingRecognizer(vol, cfg, surface_capacity=2048)
+    rec.register_model("blob", desc)
+    for az in (0.4, 2.5, 4.6):
+        eye = center + 1.8 * np.float32([math.cos(az), math.sin(az), 0.35])
+        T_cw = synthetic.look_at(eye, center)
+        depth = synthetic.render_depth(sp, T_cw, _INTR, _SHAPE)
+        rec.integrate_depth_frame(depth, _INTR, T_cw)
+    res = rec.recognize()["blob"]
+    v = validation.validate_pose(np.asarray(res.pose), T_true,
+                                 desc.diameter, cfg)
+    assert v.match, (v.trans_err, math.degrees(v.rot_err))
