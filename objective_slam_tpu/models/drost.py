@@ -452,3 +452,56 @@ def match_greedy_cpu(model: ModelDescription, scene_points, scene_normals,
     gc = clustering.cluster_poses_greedy(
         poses, votes, float(model.d_dist), config.d_angle)
     return gc.poses[0], gc
+
+
+def extract_instances(result: MatchResult, diameter: float,
+                      max_instances: int = 8,
+                      min_votes_frac: float = 0.25,
+                      min_separation_factor: float = 0.7
+                      ) -> tuple[list[np.ndarray], list[float]]:
+    """Multi-instance output: greedy non-max suppression over the clustered
+    candidate poses — the bin-picking extension (the reference returns only
+    the single argmax winner, model.cu:293-295, even though the candidate
+    list contains every instance's peak).
+
+    Suppression is by TRANSLATION distance only: two physical instances
+    cannot overlap, so candidates closer than min_separation_factor ·
+    diameter are aliases of the same instance (α/symmetry aliases share
+    the translation).
+
+    Use `PPFConfig(cluster_center_cell=True, max_poses=<large>)` for
+    multi-instance scenes: the reference's center-cell quirk (own
+    translation cell excluded from the neighborhood, kernel.cu:684-689)
+    makes clustered counts incomparable ACROSS instances — an instance
+    whose candidate poses all share one grid cell aggregates nothing —
+    and a small top-K can fill up with one instance's cells before the
+    others appear.
+
+    Args:
+      result: a MatchResult from match().
+      diameter: model diameter (ModelDescription.diameter).
+      max_instances: static upper bound on returned instances.
+      min_votes_frac: stop when a candidate's clustered count falls below
+        this fraction of the strongest (weaker peaks are clutter echoes).
+
+    Returns ([pose (4,4)...], [clustered vote count...]), strongest first.
+    """
+    keep = np.asarray(result.pose_keep)
+    poses = np.asarray(result.poses)[keep]
+    counts = np.asarray(result.clustered_counts)[keep]
+    if len(counts) == 0:
+        return [], []
+    order = np.argsort(-counts)
+    vmax = float(counts[order[0]])
+    thresh = min_separation_factor * diameter
+    out_p: list[np.ndarray] = []
+    out_c: list[float] = []
+    for i in order:
+        if float(counts[i]) < min_votes_frac * vmax \
+                or len(out_p) >= max_instances:
+            break
+        t = poses[i][:3, 3]
+        if all(np.linalg.norm(t - p[:3, 3]) > thresh for p in out_p):
+            out_p.append(poses[i])
+            out_c.append(float(counts[i]))
+    return out_p, out_c

@@ -245,3 +245,50 @@ def test_fnv_mode_serialization_roundtrip(tmp_path, rng):
     r1 = ost.match(loaded, sp, sn, cfg)
     np.testing.assert_array_equal(np.asarray(r0.accumulator),
                                   np.asarray(r1.accumulator))
+
+
+def test_extract_instances_bin_picking(rng):
+    """Multi-instance scene: extract_instances recovers EVERY planted
+    instance from one match's candidate list (the reference only ever
+    returns the argmax winner)."""
+    mp, mn = synthetic.blob_cloud(rng, 2500, bumps=0.5)
+    diam = pc.bbox_diameter(mp)
+    # Plant 3 well-separated instances into planar clutter.
+    u = rng.uniform(-1.5, 1.5, size=(2000, 2))
+    cp = np.concatenate([u, rng.normal(scale=0.01, size=(2000, 1))],
+                        axis=1).astype(np.float32)
+    cp += np.float32([0, 0, -2.5])
+    cn = np.tile(np.float32([0, 0, 1]), (2000, 1))
+    sp, sn = cp, cn
+    truths = []
+    offsets = [np.float32([0, 0, 0]), np.float32([3.5, 0, 0]),
+               np.float32([0, 3.5, 0])]
+    for off in offsets:
+        sel = rng.choice(len(mp), size=1800, replace=False)
+        sp, sn, T = synthetic.plant_model(rng, mp[sel], mn[sel], sp, sn,
+                                          translation=off)
+        truths.append(T)
+
+    # max_poses must cover ALL instances' candidate cells (each instance
+    # here owns ~300-1000 cells), and the corrected clustering mode makes
+    # cluster counts comparable across instances (see extract_instances).
+    cfg = PPFConfig(ref_point_df=2, max_poses=2048,
+                    cluster_center_cell=True)
+    d_dist = cfg.tau_d * diam
+    mpd, mnd = pc.voxel_downsample_np(mp, mn, d_dist)
+    desc = ost.build_model_description(mpd, mnd, cfg, d_dist=d_dist)
+    spd, snd = pc.voxel_downsample_np(sp, sn, d_dist)
+    res = ost.match(desc, spd, snd, cfg)
+
+    inst, votes = drost.extract_instances(res, desc.diameter,
+                                          max_instances=5)
+    assert len(inst) >= 3, len(inst)
+    # Each truth matched by exactly one distinct extracted instance.
+    used = set()
+    for T_true in truths:
+        errs = [tr.ht_dist(p, T_true) for p in inst]
+        best = int(np.argmin([float(e[0]) for e in errs]))
+        td, rd = (float(x) for x in errs[best])
+        assert best not in used
+        assert td < 0.1 * desc.diameter and rd < math.radians(12), (td, rd)
+        used.add(best)
