@@ -190,15 +190,19 @@ def main():
     def pipeline(cfg_run):
         def run(raw_p, raw_n):
             vox = vox_of(raw_p, raw_n)
-            # ICP refines against the RAW 100k scan (icp_points): with both
+            # ICP refines against the RAW scan (icp_points): with both
             # clouds voxelized at d_dist, point-to-point ICP stalls at the
             # sampling-spacing floor (~10 deg here) instead of converging.
+            # A 4x stride of the raw scan keeps it well above the voxel
+            # floor (25k points ≈ 14x the voxel density) at ~1/4 the NN
+            # cost — measured slightly MORE accurate than the full scan
+            # (1.74 vs 2.12 deg; less clutter in the rejection radius).
             return _match_core(desc, vox.points, vox.normals,
                                ref_point_df=cfg_run.ref_point_df,
                                vote_cap=cap if cfg_run.engine == "fast"
                                else 0,
-                               config=cfg_run, icp_points=raw_p,
-                               icp_normals=raw_n, seg_cap=seg_cap)
+                               config=cfg_run, icp_points=raw_p[::4],
+                               icp_normals=raw_n[::4], seg_cap=seg_cap)
         return jax.jit(run)
 
     def stage_keys(raw_p, raw_n):

@@ -178,7 +178,8 @@ def _scene_keys(model: ModelDescription, scene_points, scene_normals,
 def _match_core(model: ModelDescription, scene_points, scene_normals,
                 *, ref_point_df: int, vote_cap: int, config: PPFConfig,
                 icp_points=None, icp_normals=None,
-                seg_cap: int | None = None) -> MatchResult:
+                seg_cap: int | None = None,
+                runs_cap: int | None = None) -> MatchResult:
     """The jitted matching pipeline (Model::ppf_lookup, model.cu:269-306).
 
     icp_points/icp_normals: optional full-resolution scene cloud for the
@@ -208,7 +209,8 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
                              "None — rebuild tables for this engine")
         votes = voting_corr.cast_votes_corr(keys, alpha_s,
                                             model.corr_tables,
-                                            model.n_points)
+                                            model.n_points,
+                                            runs_cap=runs_cap)
     elif config.engine == "fast":
         if model.fast_tables is None:
             raise ValueError("engine='fast' but model.fast_tables is None — "
@@ -307,13 +309,15 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
 
 @functools.partial(jax.jit,
                    static_argnames=("ref_point_df", "vote_cap", "config",
-                                    "seg_cap"))
+                                    "seg_cap", "runs_cap"))
 def _match_jit(model, scene_points, scene_normals, ref_point_df, vote_cap,
-               config, icp_points=None, icp_normals=None, seg_cap=None):
+               config, icp_points=None, icp_normals=None, seg_cap=None,
+               runs_cap=None):
     return _match_core(model, scene_points, scene_normals,
                        ref_point_df=ref_point_df, vote_cap=vote_cap,
                        config=config, icp_points=icp_points,
-                       icp_normals=icp_normals, seg_cap=seg_cap)
+                       icp_normals=icp_normals, seg_cap=seg_cap,
+                       runs_cap=runs_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("ref_point_df", "d_angle"))
@@ -386,8 +390,28 @@ def match(model: ModelDescription, scene_points, scene_normals,
                 "engine='correlation' requires corr_tables; build the model "
                 "description with a correlation config (or rebuild tables "
                 "after serialization.load_model_description)")
-        vote_cap = 0      # capacity-free engine; skip the count pass
-    elif config.engine == "fast" and model.fast_tables is None:
+        # Capacity-free engine except for the unique-cell compaction cap.
+        # Start at the built-in heuristic and AUTO-RETRY at the next
+        # capacity bucket whenever the runs compaction overflows — the cap
+        # clamps to S (exact by construction), so the loop terminates and
+        # tallies are never silently truncated (voting_corr.py runs_cap).
+        n_s = int(np.asarray(scene_points).shape[0])
+        R = (n_s + config.ref_point_df - 1) // config.ref_point_df
+        S = R * n_s
+        rc = None                 # engine-internal default first
+        while True:
+            res = _match_jit(model, scene_points, scene_normals,
+                             config.ref_point_df, 0, config,
+                             icp_points=icp_points,
+                             icp_normals=icp_normals, runs_cap=rc)
+            if rc is not None and rc >= S:
+                break
+            if not bool(res.overflowed):
+                break
+            rc = _next_cap(2 * (rc if rc is not None
+                                else max(S // 6, 65536)))
+        return res
+    if config.engine == "fast" and model.fast_tables is None:
         raise ValueError(
             "engine='fast' requires fast_tables; build the model "
             "description with a fast/correlation config")

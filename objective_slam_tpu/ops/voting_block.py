@@ -18,13 +18,16 @@ per-ELEMENT indexing entirely by exploiting two structural facts:
 
 Pipeline (all static shapes):
   scene keys ──(S, K_occ) one-hot ⋅ (K_occ, 2) dictionary──> cnt, row_start
-  per-segment row allocation (cumsum) + per-ROW fills (cumsum-of-diffs at
-    row granularity — 128x fewer elements than the legacy per-vote fills)
+  per-segment row allocation (cumsum) + TWO per-ROW fills (cumsum-of-diffs
+    at row granularity, 1-D scatters with tail corrections folded into the
+    next head — pad rows/slots are handled by pair-table sentinels, not
+    masks)
   pair rows ──ONE row gather──> (ROW_CAP, 128) packed (m << 22 | α_m_fix)
   Pallas tally: per 64-row chunk, in-register unpack + integer α-binning
     (identical fixed-point formula to voting_fast — tallies are bit-equal)
-    + one-hot MXU accumulate; per-chunk partials combine into per-reference-
-    row tallies by cumsum + row-boundary slice.
+    + one-hot MXU accumulate at full systolic width (H·32 narrow side),
+    written DIRECTLY into the per-reference-row accumulator via a
+    scalar-prefetched chunk→row output map.
 
 Replaces the role of ppf_vote_count_kernel + ppf_vote_kernel + vote
 sort/histogram (reference src/cuda/kernel.cu:480-554, model.cu:95-151).
@@ -53,6 +56,17 @@ from objective_slam_tpu.ops import voting as voting_ref
 
 LANES = 128
 CHUNK_ROWS = 64                 # tally chunk = 64 rows = 8192 vote slots
+                                # (row-alignment padding costs CHUNK_ROWS
+                                # rows per reference row — 128 measured
+                                # ~0.5 ms faster at bench scale but doubles
+                                # that padding; 64 is the balance)
+TALLY_GROW = 64                 # vote rows fused per MXU contraction
+                                # (k = 8192; swept on v5e — amortizes the
+                                # per-group loop/accumulate fixed costs)
+TALLY_DTYPE = "int8"            # one-hot operand dtype ("int8" contracts
+                                # at the MXU's 2x int8 rate and accumulates
+                                # in int32 — exact by construction; swept
+                                # vs bfloat16 on v5e)
 ALPHA_BITS = 22                 # fixed-point α (shared with voting_fast)
 M_BITS = 32 - ALPHA_BITS        # model point index field (n_m <= 1024)
 _ALPHA_SCALE = (1 << ALPHA_BITS) / (2.0 * math.pi)
@@ -82,10 +96,15 @@ class BlockTables:
                construction).
     occ_vals — (K_pad, 2) f32 [bucket vote count, bucket start ROW] — the
                dictionary payload contracted on the MXU.
-    pair2d   — (n_rows, 128) uint32 (m << ALPHA_BITS | α_m fixed point),
-               each bucket padded to whole rows (pad slots are masked by the
-               per-row valid-lane count at tally time, so their content is
-               irrelevant).
+    pair2d   — (n_rows + 1, 128) uint32 (m << ALPHA_BITS | α_m fixed
+               point). Each bucket is padded to whole rows with the
+               SENTINEL slot 0xFFFFFFFF, whose m field decodes to
+               (1 << M_BITS) − 1 — a model index the build gate reserves
+               (n_m < 2^M_BITS strictly), so sentinel slots tally into a
+               column the accumulator slice discards. Row n_rows is an
+               all-sentinel row that padding vote rows point at. This
+               removes the per-row valid-lane masking from the hot tally
+               entirely.
     """
     occ_keys: jax.Array
     occ_vals: jax.Array
@@ -107,7 +126,8 @@ def build_block_tables(table: voting_ref.KeyTable,
     occ = np.nonzero(counts)[0]
     k_occ = len(occ)
     n_m = int(pair_mr.max(initial=0)) + 1
-    if k_occ == 0 or k_occ > max_kocc or n_m > (1 << M_BITS):
+    # Strict bound reserves m = 2^M_BITS − 1 as the pad-slot sentinel.
+    if k_occ == 0 or k_occ > max_kocc or n_m >= (1 << M_BITS):
         return None
 
     occ_cnt = counts[occ].astype(np.int64)
@@ -120,7 +140,9 @@ def build_block_tables(table: voting_ref.KeyTable,
                     (1 << ALPHA_BITS) - 1).astype(np.uint32)
     packed = (pair_mr.astype(np.uint32) << ALPHA_BITS) | a_fix
 
-    pair2d = np.zeros((n_rows, LANES), np.uint32)
+    # Pad slots AND the trailing all-pad row are the sentinel 0xFFFFFFFF:
+    # they tally into the reserved m column and are sliced away.
+    pair2d = np.full((n_rows + 1, LANES), 0xFFFFFFFF, np.uint32)
     flat = pair2d.reshape(-1)
     for i, k in enumerate(occ):
         s = row_start[i] * LANES
@@ -142,11 +164,28 @@ def build_block_tables(table: voting_ref.KeyTable,
 def _dict_match(flat_keys, tables: BlockTables):
     """(cnt, row_start) per scene pair via one-hot dictionary matmul.
 
-    Chunked over scene pairs so the materialized one-hot stays bounded.
     Exact: each key matches at most one dictionary entry (occupied keys are
-    distinct) and payload integers are < 2^24."""
+    distinct) and payload integers are < 2^24.
+
+    On TPU the compare FUSES into the matmul's operand read (verified: the
+    one-shot S×K_pad contraction costs ~2 ms at S=1.6M, K_pad=512 — HBM
+    traffic is the inputs/outputs only, not the one-hot). A hand-written
+    Pallas equivalent measured SLOWER (~6 ms: the (C,1)→lanes broadcast
+    relayout per block beats the fused XLA form). On CPU the one-hot WOULD
+    materialize (S·K_pad·4 bytes), so the host path chunks it."""
     S = flat_keys.shape[0]
-    K_pad = tables.occ_keys.shape[0]
+
+    if jax.default_backend() == "tpu":
+        onehot = (flat_keys[:, None] == tables.occ_keys[None, :]) \
+            .astype(jnp.float32)
+        # HIGHEST precision: the payload integers (counts, row starts)
+        # exceed bf16's 8-bit mantissa; a default-precision (bf16) pass
+        # silently rounds them.
+        out = jnp.dot(onehot, tables.occ_vals,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        return out[:, 0].astype(jnp.int32), out[:, 1].astype(jnp.int32)
+
     chunk = min(DICT_CHUNK, _ceil_to(S, LANES))
     S_pad = _ceil_to(S, chunk)
     keys_p = jnp.concatenate(
@@ -198,12 +237,14 @@ def cast_votes_block(scene_keys, scene_alpha, tables: BlockTables,
         row). Exceeding it sets `overflowed`.
     """
     R, n = scene_keys.shape
-    (pp, alpha_row, lanes_valid, row_start_p, total, overflow, row_cap) = \
+    (pp, alpha_row, row_start_p, total, overflow, row_cap,
+     total_rows_p) = \
         _expand(scene_keys, scene_alpha, tables, vote_cap, chunk_rows,
                 seg_cap)
-    acc = _tally(pp, alpha_row, lanes_valid,
+    acc = _tally(pp, alpha_row,
                  r_of_chunk_start=row_start_p, R=R, n_model=n_model,
-                 d_angle=d_angle, chunk_rows=chunk_rows, row_cap=row_cap)
+                 d_angle=d_angle, chunk_rows=chunk_rows, row_cap=row_cap,
+                 total_rows_p=total_rows_p)
     return voting_ref.VoteResult(accumulator=acc, num_votes=total,
                                  overflowed=overflow)
 
@@ -212,8 +253,8 @@ def _expand(scene_keys, scene_alpha, tables: BlockTables, vote_cap: int,
             chunk_rows: int, seg_cap: int | None = None):
     """Dictionary match + row allocation + per-row fills + THE row gather.
 
-    Returns (pp, alpha_row, lanes_valid, row_start_p, total, overflow,
-    row_cap) — everything the tally needs."""
+    Returns (pp, alpha_row, row_start_p, total, overflow, row_cap,
+    total_rows_p) — everything the tally needs."""
     row_cap = max(vote_cap // LANES, chunk_rows)
     row_cap = _ceil_to(row_cap, chunk_rows)
     R, n = scene_keys.shape
@@ -249,9 +290,10 @@ def _expand(scene_keys, scene_alpha, tables: BlockTables, vote_cap: int,
     total_rows_p = row_start_p[-1] + row_tot_p[-1]
     overflow = total_rows_p > row_cap
 
-    # True vote total (int32, matching the legacy engine's semantics; cap
-    # sizing in drost handles the int64-safe grand total on host).
-    total = jnp.sum(cnt, dtype=jnp.int32)
+    # True vote total: per-row int32 sums (exact), saturating grand total
+    # (cap sizing in drost handles the int64-safe total on host).
+    total = voting_ref.saturating_total(
+        jnp.sum(cnt.reshape(R, n), axis=1, dtype=jnp.int32))
 
     alpha_fix = jnp.round((flat_alpha + jnp.float32(math.pi))
                           * jnp.float32(_ALPHA_SCALE)).astype(jnp.int32)
@@ -259,14 +301,18 @@ def _expand(scene_keys, scene_alpha, tables: BlockTables, vote_cap: int,
 
     # Stream-compact the nonzero segments (typically a few % of S). Every
     # per-element indexed op on this TPU costs ~10-30 ns/element, so the
-    # compaction is an S-sized stable argsort of the zero/nonzero mask
-    # (sorts run at HBM bandwidth) followed by seg_cap-sized row gathers —
-    # NOT an S-sized scatter (which alone used to cost ~30 ms at 1.6M
-    # pairs).
+    # compaction is an S-sized sort (sorts run at HBM bandwidth) followed
+    # by seg_cap-sized row gathers — NOT an S-sized scatter (which alone
+    # used to cost ~30 ms at 1.6M pairs). Sorting where(nz, iota, INT_MAX)
+    # is a SINGLE-array sort whose sorted prefix IS the compacted index
+    # list (iota is strictly increasing, so stability is free) — half the
+    # payload of the argsort(key, iota) form.
     nz = crows > 0
     n_seg = jnp.sum(nz, dtype=jnp.int32)
     seg_overflow = n_seg > seg_cap
-    starts = jnp.argsort(~nz, stable=True)[:seg_cap].astype(jnp.int32)
+    starts = jnp.sort(jnp.where(
+        nz, jnp.arange(S, dtype=jnp.int32),
+        jnp.int32(np.iinfo(np.int32).max)))[:seg_cap]
     seg_ok = jnp.arange(seg_cap, dtype=jnp.int32) < n_seg
     gidx = jnp.where(seg_ok, starts, 0)
     payload = jnp.stack([cnt, brs, alpha_fix, heads], axis=1)     # (S, 4)
@@ -275,44 +321,69 @@ def _expand(scene_keys, scene_alpha, tables: BlockTables, vote_cap: int,
     c_brs = compact[:, 1]
     c_alpha = compact[:, 2]
     c_heads = compact[:, 3]
-    head_idx = jnp.where(seg_ok, c_heads, row_cap)
-    tail_idx = jnp.where(seg_ok, c_heads + rows_for_counts(c_cnt), row_cap)
+    c_tail = c_heads + rows_for_counts(c_cnt)
+    c_row = gidx // n                       # owning reference row
 
-    # All three per-row transports ride ONE pair of 3-wide scatters
-    # (scatter cost is per ROW, width is nearly free) + three cumsums:
-    # value v lives from head row through tail row (exclusive) via
-    # d[head] += v, d[tail] -= v, cumsum.
-    vals3 = jnp.stack([
-        jnp.where(seg_ok, c_cnt + c_heads * LANES, 0),
-        jnp.where(seg_ok, c_brs - c_heads, 0),
-        jnp.where(seg_ok, c_alpha, 0)], axis=1)               # (seg_cap, 3)
-    d3 = jnp.zeros((row_cap, 3), jnp.int32)
-    d3 = d3.at[head_idx].add(vals3, mode="drop")
-    d3 = d3.at[tail_idx].add(-vals3, mode="drop")
-    fills = jnp.cumsum(d3, axis=0, dtype=jnp.int32)           # (row_cap, 3)
+    # Two per-row transports (pair-table source row via u, α_s), each as
+    # cumsum-of-diffs. Measured scatter economics on this chip: 1-D
+    # scatters cost ~13 ns/row vs ~50 ns/row for (N, k) row scatters, and
+    # within one reference row consecutive segments are back-to-back
+    # (heads = exclusive scan), so the tail correction of segment j−1
+    # FOLDS into the head diff of segment j. What remains is ONE 1-D
+    # head scatter per channel plus an R-sized correction at each
+    # reference row's padding boundary — ~4x cheaper than the head+tail
+    # row-scatter pair it replaces.
+    #
+    # u = brs − head + OFFSET with OFFSET > row_cap keeps u ≥ 1 inside
+    # segments while the fill is exactly 0 on padding rows — the fill
+    # itself marks validity, replacing the lanes_valid channel (pad rows
+    # point at the all-sentinel pair2d row n_rows).
+    offset = jnp.int32(row_cap + 1)
+    u = c_brs - c_heads + offset
+    prev_tail = jnp.concatenate([jnp.full((1,), -1, jnp.int32), c_tail[:-1]])
+    prev_row = jnp.concatenate([jnp.full((1,), -1, jnp.int32), c_row[:-1]])
+    prev_u = jnp.concatenate([jnp.zeros((1,), jnp.int32), u[:-1]])
+    prev_a = jnp.concatenate([jnp.zeros((1,), jnp.int32), c_alpha[:-1]])
+    contig = (prev_tail == c_heads) & (prev_row == c_row)
+    head_idx = jnp.where(seg_ok, c_heads, row_cap)
+    du = jnp.where(contig, u - prev_u, u)
+    da = jnp.where(contig, c_alpha - prev_a, c_alpha)
+
+    # Per-reference-row boundary corrections: the fill returns to 0 at the
+    # start of the row's padding (R-sized — negligible scatter cost).
+    segs_per_row = jnp.sum(nz.reshape(R, n), axis=1, dtype=jnp.int32)
+    last_seg = jnp.clip(jnp.cumsum(segs_per_row, dtype=jnp.int32) - 1,
+                        0, seg_cap - 1)
+    has_seg = segs_per_row > 0
+    u_last = jnp.where(has_seg, u[last_seg], 0)
+    a_last = jnp.where(has_seg, c_alpha[last_seg], 0)
+    row_end = jnp.where(has_seg, row_start_p + row_tot, row_cap)
+
+    d_u = jnp.zeros((row_cap,), jnp.int32) \
+        .at[head_idx].add(jnp.where(seg_ok, du, 0), mode="drop") \
+        .at[row_end].add(-u_last, mode="drop")
+    d_a = jnp.zeros((row_cap,), jnp.int32) \
+        .at[head_idx].add(jnp.where(seg_ok, da, 0), mode="drop") \
+        .at[row_end].add(-a_last, mode="drop")
+    fill_u = jnp.cumsum(d_u, dtype=jnp.int32)
+    alpha_row = jnp.cumsum(d_a, dtype=jnp.int32)
 
     t_iota = jnp.arange(row_cap, dtype=jnp.int32)
-    # Valid lanes in row t: cnt[s] − (t − head)·128, clipped to [0, 128].
-    # This alone decides row membership: inside a segment the transported
-    # value is ≥ 1 (the last row keeps 1..128 valid lanes); outside every
-    # segment the fill is 0, so c_rem = −128·t ≤ 0 → 0 valid lanes. No
-    # separate start/length fills are needed.
-    c_rem = fills[:, 0] - t_iota * LANES
-    lanes_valid = jnp.clip(c_rem, 0, LANES)
-
-    # src_row[t] = brs[s] + (t − head[s]): ride (brs − head), add iota.
-    src_row = fills[:, 1] + t_iota
-    src_row = jnp.where(lanes_valid > 0,
-                        jnp.clip(src_row, 0, tables.n_rows - 1), 0)
-    alpha_row = fills[:, 2]
+    # src_row[t] = brs[s] + (t − head[s]) inside segments; the all-sentinel
+    # row n_rows on padding rows (fill 0). The clip only matters on
+    # overflow (flagged) — in-range segments stay within their bucket.
+    src_row = jnp.where(fill_u > 0,
+                        jnp.clip(fill_u - offset + t_iota, 0,
+                                 tables.n_rows),
+                        tables.n_rows)
 
     overflow = overflow | seg_overflow
 
     # THE gather: one row-granular DMA per vote row.
     pp = jnp.take(tables.pair2d, src_row, axis=0)           # (row_cap, 128)
 
-    return (pp, alpha_row, lanes_valid, row_start_p, total, overflow,
-            row_cap)
+    return (pp, alpha_row, row_start_p, total, overflow,
+            row_cap, total_rows_p)
 
 
 def _unpack_bin(pp_i32, a_s, n_angle):
@@ -327,11 +398,23 @@ def _unpack_bin(pp_i32, a_s, n_angle):
     return m, a_bin
 
 
-def _tally(pp, alpha_row, lanes_valid, r_of_chunk_start, R, n_model,
-           d_angle, chunk_rows, row_cap):
-    """Fused unpack + α-bin + one-hot MXU tally per chunk of rows; per-chunk
-    partials combine into per-reference-row tallies with a cumsum +
-    row-boundary slice (same combine as voting_fast._mxu_tally)."""
+def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
+           d_angle, chunk_rows, row_cap, total_rows_p=None):
+    """Fused unpack + α-bin + one-hot MXU tally, accumulated DIRECTLY into
+    the per-reference-row accumulator.
+
+    TPU path: the output block index is data-driven (scalar-prefetched
+    chunk→row map): consecutive chunks of one reference row revisit the
+    same (1, m_pad, A) block, which stays resident in VMEM and is written
+    back once per row — no (n_chunks, m_pad, A) partials array, no
+    cross-chunk cumsum, no row-boundary slicing. Chunks past the true row
+    count (capacity slack) are predicated off, so over-sizing vote_cap
+    costs DMA only, not MXU work.
+
+    Per group, the H per-128-model-point α one-hots are CONCATENATED into
+    one (H·A, K) narrow operand so the MXU contraction runs at N = H·A
+    instead of H separate N = 32 passes (N < 128 wastes the systolic
+    array's width — measured ~3x on the bench workload)."""
     A = voting_ref.ALPHA_PAD
     n_chunks = row_cap // chunk_rows
     m_pad = _ceil_to(n_model, 128)
@@ -341,103 +424,138 @@ def _tally(pp, alpha_row, lanes_valid, r_of_chunk_start, R, n_model,
     G = chunk_rows
     ppv = pp_i32.reshape(n_chunks, G, LANES)
     av = alpha_row.reshape(n_chunks, 1, G)
-    lv = lanes_valid.reshape(n_chunks, 1, G)
 
     if jax.default_backend() == "tpu":
         H = m_pad // 128
         # Rows per MXU contraction: GROW rows fuse into one k = GROW·128
         # matmul (a free row-major HBM reshape), amortizing small-matmul
         # setup; α_s / valid-lane vectors are assembled per group from SMEM.
-        GROW = 8
+        GROW = TALLY_GROW
         assert G % GROW == 0
         n_grp = G // GROW
         K = GROW * LANES
 
         ppg = ppv.reshape(n_chunks, n_grp, K)
 
-        def kernel(pp_ref, a_ref, l_ref, out_ref):
-            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-            lane_in_row = lane_iota & (LANES - 1)
-            row_of_lane = jax.lax.shift_right_logical(lane_iota, 7)
-            iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
-            iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, K), 0)
+        # chunk → owning reference row (row starts are chunk-aligned by
+        # construction: scatter each row id at its first chunk + cummax).
+        start_chunk = jnp.clip(r_of_chunk_start // chunk_rows, 0,
+                               n_chunks - 1)
+        cmap = jnp.zeros((n_chunks,), jnp.int32).at[start_chunk].max(
+            jnp.arange(R, dtype=jnp.int32), mode="drop")
+        cmap = jax.lax.cummax(cmap, axis=0)
+        if total_rows_p is None:
+            live = jnp.full((1,), n_chunks, jnp.int32)
+        else:
+            live = jnp.minimum(
+                (total_rows_p + chunk_rows - 1) // chunk_rows,
+                n_chunks).reshape(1).astype(jnp.int32)
 
-            def group(g, accs):
-                pr = pp_ref[0, g, :][None, :]                    # (1, K)
-                # Broadcast the GROW per-row scalars across their 128-lane
-                # groups with masked selects (dynamic_update_slice is not
-                # lowerable in Mosaic TC kernels).
-                a_vec = jnp.zeros((1, K), jnp.int32)
-                l_vec = jnp.zeros((1, K), jnp.int32)
-                for j in range(GROW):
-                    in_g = row_of_lane == j
-                    a_vec = jnp.where(in_g, a_ref[0, 0, g * GROW + j], a_vec)
-                    l_vec = jnp.where(in_g, l_ref[0, 0, g * GROW + j], l_vec)
-                m, a_bin = _unpack_bin(pr, a_vec, n_angle)
-                ok = lane_in_row < l_vec                         # (1, K)
-                # Two-level m one-hot: compare the 7 low bits against a
-                # 128-row iota ONCE (the wide side is built exactly once);
-                # the per-128-point-group mask (m_hi == h) and the lane
-                # validity fold into the NARROW (A, K) α one-hot — per
-                # slot that is 128 + A + H·(A+1) ops instead of
-                # 128 + H·(128·2) for masking the wide side per part.
-                m_lo = m & 127
-                om_lo = (m_lo == iota_lo).astype(jnp.bfloat16)   # (128, K)
-                oa_ok = ((a_bin == iota_a) & ok).astype(jnp.bfloat16)
-                if H == 1:
-                    oa_parts = (oa_ok,)
-                else:
+        oh_dtype = jnp.dtype(TALLY_DTYPE)
+        acc_dtype = jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
+
+        def kernel(cmap_ref, live_ref, pp_ref, a_ref, out_ref):
+            i = pl.program_id(0)
+            first = jnp.logical_or(
+                i == 0, cmap_ref[i] != cmap_ref[jnp.maximum(i - 1, 0)])
+
+            @pl.when(first)
+            def _init():
+                out_ref[...] = jnp.zeros_like(out_ref)
+
+            @pl.when(i < live_ref[0])
+            def _accumulate():
+                lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+                row_of_lane = jax.lax.shift_right_logical(lane_iota, 7)
+                iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
+                iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, K), 0)
+
+                def group(g, acc):
+                    pr = pp_ref[0, g, :][None, :]                # (1, K)
+                    # Broadcast the GROW per-row α_s scalars across their
+                    # 128-lane groups with masked selects
+                    # (dynamic_update_slice is not lowerable in Mosaic).
+                    a_vec = jnp.zeros((1, K), jnp.int32)
+                    for j in range(GROW):
+                        in_g = row_of_lane == j
+                        a_vec = jnp.where(in_g, a_ref[0, 0, g * GROW + j],
+                                          a_vec)
+                    m, a_bin = _unpack_bin(pr, a_vec, n_angle)
+                    # Two-level m one-hot: the 7 low bits against a 128-row
+                    # iota build the WIDE side once; the per-128-point-group
+                    # mask (m_hi == h) folds into the narrow α one-hots,
+                    # which concatenate into one (H·A, K) operand for a
+                    # single full-width contraction. No validity mask:
+                    # pad slots/rows carry the pair-table sentinel, whose
+                    # reserved m column the accumulator slice discards.
+                    m_lo = m & 127
+                    om_lo = (m_lo == iota_lo).astype(oh_dtype)
+                    oa_ok = a_bin == iota_a                      # (A, K)
+                    # The m_hi mask is REQUIRED even at H == 1: the
+                    # sentinel's m_hi is 7, and without the mask its
+                    # m_lo = 127 would tally into real column 127.
                     m_hi = jax.lax.shift_right_logical(m, 7)
-                    oa_parts = tuple(
-                        oa_ok * (m_hi == h).astype(jnp.bfloat16)
-                        for h in range(H))
-                return tuple(
-                    acc + jax.lax.dot_general(
-                        om_lo, oa_h, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    for acc, oa_h in zip(accs, oa_parts))
+                    oa = jnp.concatenate(
+                        [(oa_ok & (m_hi == h)).astype(oh_dtype)
+                         for h in range(H)], axis=0)             # (H·A, K)
+                    return acc + jax.lax.dot_general(
+                        om_lo, oa, (((1,), (1,)), ((), ())),
+                        preferred_element_type=acc_dtype)        # (128, H·A)
 
-            accs = jax.lax.fori_loop(
-                0, n_grp, group,
-                tuple(jnp.zeros((128, A), jnp.float32) for _ in range(H)))
-            out_ref[0] = jnp.concatenate(accs, axis=0)
+                acc = jax.lax.fori_loop(
+                    0, n_grp, group,
+                    jnp.zeros((128, H * A), acc_dtype))
+                # Exact: per-chunk per-cell counts <= G·128 << 2^24.
+                acci = acc.astype(jnp.int32)
+                for h in range(H):
+                    out_ref[0, h * 128:(h + 1) * 128, :] += \
+                        acci[:, h * A:(h + 1) * A]
 
-        partials = pl.pallas_call(
-            kernel,
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
             grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec((1, n_grp, K), lambda i: (i, 0, 0)),
-                # Per-row scalars (α_s, valid lanes) land in SMEM — the
-                # kernel indexes them at a dynamic row offset, which VMEM
-                # vector loads can't do.
-                pl.BlockSpec((1, 1, G), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, G), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, n_grp, K), lambda i, cm, lv_: (i, 0, 0)),
+                # Per-row α_s scalars land in SMEM — the kernel indexes
+                # them at a dynamic row offset, which VMEM vector loads
+                # can't do.
+                pl.BlockSpec((1, 1, G), lambda i, cm, lv_: (i, 0, 0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, m_pad, A), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((n_chunks, m_pad, A),
-                                           jnp.float32),
-        )(ppg, av, lv)
+            out_specs=pl.BlockSpec((1, m_pad, A),
+                                   lambda i, cm, lv_: (cm[i], 0, 0)),
+        )
+        acc = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R, m_pad, A), jnp.int32),
+        )(cmap, live, ppg, av)
+        # Rows with no vote chunks may never be visited (their block holds
+        # whatever the buffer contained) — zero them explicitly.
+        end_chunk = jnp.concatenate([start_chunk[1:], live])
+        has_chunks = end_chunk > start_chunk
+        acc = jnp.where(has_chunks[:, None, None], acc, 0)
+        return acc[:, :n_model, :]
     else:
-        # XLA twin (CPU tests / interpret-free golden runs).
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+        # XLA twin (CPU tests / interpret-free golden runs). Sentinel
+        # slots decode to m = 2^M_BITS − 1, which the build gate reserves
+        # (n_m < 2^M_BITS): it either misses the one-hot (m >= m_pad) or
+        # lands in a column the final slice discards.
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
         iota_a = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
 
         def chunk_partial(args):
-            p, a, l = args                       # (G,128),(1,G),(1,G)
+            p, a = args                          # (G,128),(1,G)
             m, a_bin = _unpack_bin(p, a[0][:, None], n_angle)
-            ok = (lane[0] < l[0][:, None]).reshape(-1)
             mf = m.reshape(-1)
             af = a_bin.reshape(-1)
-            om = ((mf[:, None] == iota_m) & ok[:, None]).astype(jnp.bfloat16)
+            om = (mf[:, None] == iota_m).astype(jnp.bfloat16)
             oa = (af[:, None] == iota_a).astype(jnp.bfloat16)
             return jax.lax.dot_general(
                 om, oa, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        partials = jax.lax.map(chunk_partial, (ppv, av, lv), batch_size=8)
+        partials = jax.lax.map(chunk_partial, (ppv, av), batch_size=8)
 
     # int32 chunk-combine (per-chunk partials are exact ints <= G*128; the
     # cross-chunk cumsum can exceed 2^24 per cell — f32 exactness bound).

@@ -156,7 +156,9 @@ def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
     if runs_cap is None:
         # Small scenes: cap = S (exact by construction, compaction is
         # cheap there). Large scenes: S // 6 — votes concentrate on far
-        # fewer unique cells in practice; `overflowed` guards the bound.
+        # fewer unique cells in practice; `overflowed` guards the bound
+        # and drost.match auto-retries at the next capacity bucket, so
+        # the heuristic can never silently truncate tallies.
         runs_cap = max(S // 6, 65536)
     runs_cap = min(vf._ceil_to(runs_cap, vf.LANES), S)
 
@@ -166,8 +168,12 @@ def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
     sv = jnp.sort(tgt)                                # (S,) sentinel at end
     new = jnp.concatenate([jnp.ones((1,), jnp.bool_), sv[1:] != sv[:-1]])
     n_runs = jnp.sum(new, dtype=jnp.int32)
-    # Compact run-start positions in order (stable argsort of ~mask).
-    starts = jnp.argsort(~new, stable=True)[:runs_cap].astype(jnp.int32)
+    # Compact run-start positions in order: sort where(new, iota, INT_MAX)
+    # — iota is strictly increasing, so a single-array sort is the stable
+    # compaction at half the payload of argsort(key, iota).
+    starts = jnp.sort(jnp.where(
+        new, jnp.arange(S, dtype=jnp.int32),
+        jnp.int32(np.iinfo(np.int32).max)))[:runs_cap]
     run_ok = jnp.arange(runs_cap, dtype=jnp.int32) < n_runs
     # Rows past the real run count hold arbitrary non-start positions —
     # pin them to S so the next-start difference of the LAST real run (and
@@ -188,12 +194,19 @@ def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
     s3_flat = s3.reshape(R, K1 * n_angle)
 
     # num_votes (exact, integer — f32 cannot represent counts > 2^24):
-    # Σ_k scene-hits[k] · bucket-size[k]. int32-exact up to 2^31 total
-    # votes; informational only (this engine sizes no capacity from it).
+    # Σ_k scene-hits[k] · bucket-size[k]. Per-cell products and per-row
+    # sums are int32-exact (a single reference row with ≥ 2^31 votes is
+    # not a realistic cloud); the GRAND total is summed as two int32
+    # limbs and SATURATES to INT32_MAX instead of silently wrapping when
+    # a vote-heavy scene passes 2^31 (this engine sizes no capacity from
+    # it — the saturated sentinel is unmistakable where a wrapped value
+    # would read as a plausible count).
     m_tot = jnp.sum(tables.m3_dup[:, :n_angle, :], axis=(1, 2)) \
         .astype(jnp.int32)                                        # (K1,)
     s_tot = jnp.sum(s3, axis=2).astype(jnp.int32)                 # (R, K1)
-    num_votes = jnp.sum(s_tot * m_tot[None, :], dtype=jnp.int32)
+    row_votes = jnp.sum(s_tot * m_tot[None, :], axis=1,
+                        dtype=jnp.int32)                          # (R,)
+    num_votes = voting_ref.saturating_total(row_votes)
 
     # acc[r, m, a] = S3_flat @ m3_dup[:, o_a : o_a+n, :]  with
     # o_a = (n/2 - a) mod n  (coarse-bin identity: a ≈ b_s − b_m + n/2).

@@ -1,9 +1,10 @@
 """Stage ablation of the block-expansion voting engine at bench scale.
 
-Times the full engine and its internal stages on the benchmark workload.
-The axon tunnel adds a fixed ~25-30 ms dispatch+readback overhead per
-timed call and caches identical-input results, so every rep must see fresh
-inputs; stage deltas are computed against a trivial-reduction baseline.
+Methodology (hard-won on the axon tunnel): per-call dispatch overhead is
+~25 ms with several-ms variance, so every measurement pipelines REPS
+dispatches of PRE-BUILT device inputs (block only at the end) — the RPC
+latency overlaps and the per-rep figure approaches true device time. Inputs
+are jittered per rep (the tunnel caches identical-input dispatches).
 
 Usage: python tools/ablate_block.py
 """
@@ -16,16 +17,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-
-def wall(fn, args_list):
-    import jax
-    out = fn(*args_list[0])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    outs = [fn(*a) for a in args_list]
-    for o in outs:
-        jax.tree_util.tree_map(lambda x: x.block_until_ready(), o)
-    return (time.perf_counter() - t0) / len(args_list)
+REPS = 16
 
 
 def main():
@@ -79,79 +71,38 @@ def main():
     print(f"S={S} votes={total} rows={rows} nonzero segs={nseg} "
           f"seg_cap={seg_cap} cap={cap} ({cap//128} rows)", flush=True)
 
-    # fresh inputs per rep: jitter the scene points (keeps sizes similar)
-    REPS = 4
-    def scenes():
-        out = []
-        for i in range(REPS):
-            jit_p = sp + jnp.float32(1e-6 * (i + 1))
-            out.append((jit_p, sn))
-        return out
+    # Fresh device inputs per rep, built BEFORE timing.
+    args = [(sp + jnp.float32(1e-6 * (i + 1)), sn) for i in range(REPS)]
+    jax.block_until_ready(args)
 
-    f_base = jax.jit(lambda p, q: jnp.sum(p, dtype=jnp.float32))
-    base = wall(f_base, scenes())
-    print(f"[baseline]       {base*1e3:9.1f} ms", flush=True)
+    def wall(fn, label):
+        out = fn(*args[0])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [fn(*a) for a in args]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"{label:18s} {dt*1e3:9.2f} ms", flush=True)
+        return dt
 
-    dt = wall(f_keys, scenes())
-    print(f"[keys]           {(dt)*1e3:9.1f} ms (delta {(dt-base)*1e3:7.1f})",
-          flush=True)
-
-    f_dict = jax.jit(lambda p, q: vb._dict_match(
-        f_keys(p, q)[0].reshape(-1), bt))
-    dt_d = wall(f_dict, scenes())
-    print(f"[keys+dict]      {dt_d*1e3:9.1f} ms (delta {(dt_d-dt)*1e3:7.1f})",
-          flush=True)
+    wall(jax.jit(lambda p, q: jnp.sum(p, dtype=jnp.float32)), "[baseline]")
+    wall(f_keys, "[keys]")
+    wall(jax.jit(lambda p, q: vb._dict_match(
+        f_keys(p, q)[0].reshape(-1), bt)), "[keys+dict]")
 
     f_block = jax.jit(lambda p, q: vb.cast_votes_block(
         *f_keys(p, q), bt, desc.n_points, cfg.d_angle, cap,
         seg_cap=seg_cap))
-    dt_b = wall(f_block, scenes())
-    votes_per_s = total / (dt_b - base)
-    print(f"[block full]     {dt_b*1e3:9.1f} ms (delta {(dt_b-base)*1e3:7.1f})"
-          f"  -> {votes_per_s/1e9:.3f} Gvotes/s (delta-based)", flush=True)
+    dt_b = wall(f_block, "[block full]")
+    print(f"  -> {total/dt_b/1e9:.3f} Gvotes/s", flush=True)
 
-    # expansion alone (dict + fills + row gather; everything but the tally)
+    # expansion alone (dict + compaction + fills + row gather; no tally)
     f_exp = jax.jit(lambda p, q: jax.tree_util.tree_map(
         lambda x: jnp.sum(x.view(jnp.int32) if x.dtype == jnp.uint32 else
                           x.astype(jnp.int32), dtype=jnp.int32),
         vb._expand(*f_keys(p, q), bt, cap, vb.CHUNK_ROWS,
-                   seg_cap)[:3]))
-    dt_e = wall(f_exp, scenes())
-    print(f"[keys+expand]    {dt_e*1e3:9.1f} ms (delta {(dt_e-dt)*1e3:7.1f}"
-          f" over keys)", flush=True)
-
-    # tally alone at cap scale (synthetic inputs)
-    row_cap = cap // 128
-    pp_r = jnp.asarray(rng.integers(0, 2**31, size=(row_cap, 128),
-                                    dtype=np.int64).astype(np.uint32))
-    al_r = jnp.asarray(rng.integers(0, 1 << 22,
-                                    size=(row_cap,)).astype(np.int32))
-    lv_r = jnp.asarray(rng.integers(0, 129,
-                                    size=(row_cap,)).astype(np.int32))
-    rcs = jnp.asarray((np.arange(R) * (row_cap // max(R, 1))
-                       // vb.CHUNK_ROWS * vb.CHUNK_ROWS).astype(np.int32))
-    f_tally = jax.jit(lambda p_, a_, l_: vb._tally(
-        p_, a_, l_, r_of_chunk_start=rcs, R=R, n_model=desc.n_points,
-        d_angle=cfg.d_angle, chunk_rows=vb.CHUNK_ROWS, row_cap=row_cap))
-    args_t = []
-    for i in range(4):
-        args_t.append((pp_r, jnp.asarray(
-            rng.integers(0, 1 << 22, size=(row_cap,)).astype(np.int32)),
-            lv_r))
-    dt_t = wall(f_tally, args_t)
-    print(f"[tally only]     {dt_t*1e3:9.1f} ms (delta {(dt_t-base)*1e3:7.1f})"
-          f"  {cap/(dt_t-base)/1e9:.2f} Gslots/s", flush=True)
-
-    # row gather alone
-    src = jnp.asarray(rng.integers(0, bt.n_rows,
-                                   size=(row_cap,)).astype(np.int32))
-    f_g = jax.jit(lambda s_: jnp.sum(jnp.take(bt.pair2d, s_, axis=0)
-                                     .view(jnp.int32), dtype=jnp.int32))
-    args_g = [(jnp.asarray(rng.integers(0, bt.n_rows, size=(row_cap,))
-                           .astype(np.int32)),) for _ in range(4)]
-    dt_g = wall(f_g, args_g)
-    print(f"[row gather]     {dt_g*1e3:9.1f} ms (delta {(dt_g-base)*1e3:7.1f})",
-          flush=True)
+                   seg_cap)[:2]))
+    wall(f_exp, "[keys+expand]")
 
     # legacy fast engine for comparison
     cap_fast = ((total + vf.TALLY_CHUNK * R) * 102 // 100
@@ -159,10 +110,8 @@ def main():
     f_fast = jax.jit(lambda p, q: vf.cast_votes_fast(
         *f_keys(p, q), desc.fast_tables, desc.n_points, cfg.d_angle,
         cap_fast))
-    dt_f = wall(f_fast, scenes())
-    print(f"[legacy fast]    {dt_f*1e3:9.1f} ms "
-          f"-> {total/(dt_f-base)/1e9:.3f} Gvotes/s (delta-based)",
-          flush=True)
+    dt_f = wall(f_fast, "[legacy fast]")
+    print(f"  -> {total/dt_f/1e9:.3f} Gvotes/s", flush=True)
 
     # equality check at bench scale
     ob = f_block(sp, sn)
