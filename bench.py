@@ -33,7 +33,7 @@ import numpy as np
 
 VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
 NSEEDS = int(os.environ.get("BENCH_SEEDS", "3"))
-REPS = int(os.environ.get("BENCH_REPS", "5"))
+REPS = int(os.environ.get("BENCH_REPS", "24"))
 _T0 = time.time()
 
 
@@ -144,13 +144,13 @@ def main():
         return min(vs, key=lambda v: v.rot_err + (0.0 if v.match else 1e3))
 
     # max_poses 512: survivors of the 0.4·max threshold number in the low
-    # hundreds on these scenes (topk_saturated guards the bound); ICP at 16
-    # iterations sits at ~1.5 deg — both chosen inside the accuracy budget.
+    # hundreds on these scenes (topk_saturated guards the bound); ICP at 20
+    # iterations over the strided scan sits at ~1.5 deg — both chosen inside the accuracy budget.
     cfg = PPFConfig(max_poses=512, ref_point_df=5, engine="fast",
-                    refine_icp=True, icp_iterations=16)
+                    refine_icp=True, icp_iterations=20)
     cfg_corr = PPFConfig(max_poses=512, ref_point_df=5,
                          engine="correlation", refine_icp=True,
-                         icp_iterations=16)
+                         icp_iterations=20)
     d_dist = cfg.tau_d * pc.bbox_diameter(mp_raw)
     mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
     # engine="correlation" builds fast (incl. block) AND correlation tables.
@@ -193,16 +193,16 @@ def main():
             # ICP refines against the RAW scan (icp_points): with both
             # clouds voxelized at d_dist, point-to-point ICP stalls at the
             # sampling-spacing floor (~10 deg here) instead of converging.
-            # A 4x stride of the raw scan keeps it well above the voxel
-            # floor (25k points ≈ 14x the voxel density) at ~1/4 the NN
-            # cost — measured slightly MORE accurate than the full scan
-            # (1.74 vs 2.12 deg; less clutter in the rejection radius).
+            # An 8x stride of the raw scan keeps it well above the voxel
+            # floor (12.5k points ≈ 7x the voxel density) at ~1/8 the NN
+            # cost — measured as accurate as the full scan (1.73 vs 2.12
+            # deg at 20 iterations; less clutter in the rejection radius).
             return _match_core(desc, vox.points, vox.normals,
                                ref_point_df=cfg_run.ref_point_df,
                                vote_cap=cap if cfg_run.engine == "fast"
                                else 0,
-                               config=cfg_run, icp_points=raw_p[::4],
-                               icp_normals=raw_n[::4], seg_cap=seg_cap)
+                               config=cfg_run, icp_points=raw_p[::8],
+                               icp_normals=raw_n[::8], seg_cap=seg_cap)
         return jax.jit(run)
 
     def stage_keys(raw_p, raw_n):
@@ -262,6 +262,82 @@ def main():
              f"exact {vote_s[-1]*1e3:.1f}ms corr {corr_s[-1]*1e3:.1f}ms "
              f"votes {nv} match {v.match} rot {matches[-1]['rot_err_deg']:.2f}")
 
+    # ---- Multi-instance recall (bin picking; untimed accuracy stage) ----
+    # The reference discards everything but the argmax winner
+    # (model.cu:293-295) even though the candidate list holds every
+    # instance's peak; extract_instances recovers all of them. Center-cell
+    # quirk ON and a larger top-K per its docstring.
+    cfg_mi = PPFConfig(max_poses=1024, ref_point_df=5, engine="fast",
+                       cluster_center_cell=True)
+    run_mi = pipeline(cfg_mi)
+    inst_found = []
+    for si, (sp, sn, truths) in enumerate(scenes):
+        res_mi = run_mi(jax.device_put(sp), jax.device_put(sn))
+        poses_mi, _counts_mi = drost.extract_instances(
+            res_mi, desc.diameter, max_instances=2 * N_INSTANCES)
+        found = 0
+        for T in truths:
+            if any(validation.validate_pose(p, T, desc.diameter,
+                                            cfg_mi).match
+                   for p in poses_mi):
+                found += 1
+        inst_found.append(found)
+        _log(f"seed {si}: instances {found}/{len(truths)} "
+             f"(candidates {len(poses_mi)})")
+
+    # ---- Estimated-normals run (xyz-only sensor frame; timed) ----
+    # A partial view of seed-0's scene from a fixed sensor viewpoint,
+    # normals estimated ON DEVICE (estimate_normals_grid) with viewpoint
+    # orientation — the real-scan path where no oracle normals exist.
+    from objective_slam_tpu.utils import synthetic
+
+    sp0, sn0, truths0 = scenes[0]
+    viewpoint = np.array([0.0, -14.0, 7.0], np.float32)
+    vis_mask = synthetic.partial_view(sp0, sn0, viewpoint)
+    vis_p = np.asarray(sp0[vis_mask], np.float32)
+    nrm_radius = float(scene_leaf)
+    lo_h = vis_p.min(axis=0)
+    hi_h = vis_p.max(axis=0)
+    dims = tuple(int(d) + 1 for d in
+                 np.floor((hi_h - lo_h) / nrm_radius).astype(np.int64))
+
+    def est_normals(p):
+        return pc.estimate_normals_grid(p, nrm_radius, viewpoint=viewpoint,
+                                        orient="viewpoint", dims=dims)
+
+    vis_occ = int(pc.voxel_downsample(
+        vis_p, np.zeros_like(vis_p), scene_leaf,
+        capacity=len(vis_p)).num_voxels)
+    vis_cap = ((int(vis_occ * 1.05) + 127) // 128) * 128
+    tE, rE, gE = _count_votes(
+        desc, *(lambda v: (v.points, v.normals))(
+            pc.voxel_downsample(vis_p, np.asarray(est_normals(vis_p)),
+                                scene_leaf, capacity=vis_cap)),
+        cfg.ref_point_df, cfg.d_angle)
+    cap_e = drost._next_cap((rE + voting_block.CHUNK_ROWS *
+                             ((vis_cap + cfg.ref_point_df - 1)
+                              // cfg.ref_point_df)) * 128)
+    seg_e = drost._next_cap(max(gE, 1024))
+
+    def run_est(raw_p):
+        nrm = est_normals(raw_p)
+        vox = pc.voxel_downsample(raw_p, nrm, scene_leaf, capacity=vis_cap)
+        return _match_core(desc, vox.points, vox.normals,
+                           ref_point_df=cfg.ref_point_df, vote_cap=cap_e,
+                           config=cfg, icp_points=raw_p, seg_cap=seg_e)
+    run_est_j = jax.jit(run_est)
+    nrm_j = jax.jit(lambda p: jnp.sum(est_normals(p) * p))
+    vis_dev = jax.device_put(vis_p)
+    est_args = [(vis_dev + jnp.float32((r + 1) * 1e-6),)
+                for r in range(REPS)]
+    dt_n, _ = _time(nrm_j, est_args, (vis_dev,))
+    dt_e, res_est = _time(run_est_j, est_args, (vis_dev,))
+    v_est = validate_best(np.asarray(res_est.pose), truths0, desc.diameter,
+                          cfg)
+    _log(f"est-normals: {len(vis_p)} visible pts, normals {dt_n*1e3:.1f}ms, "
+         f"e2e {dt_e*1e3:.1f}ms, match {v_est.match} "
+         f"rot {math.degrees(v_est.rot_err):.2f}")
+
     mean_votes = float(np.mean([m["num_votes"] for m in matches]))
     exact_vps = mean_votes / float(np.mean(vote_s))
     corr_vps = mean_votes / float(np.mean(corr_s))
@@ -297,6 +373,16 @@ def main():
                                           for m in matches])),
             "per_seed": matches,
             "overflowed": any(m["overflowed"] for m in matches),
+            "instances_found": inst_found,
+            "instances_planted": N_INSTANCES,
+            "instance_recall": float(np.mean(inst_found)) / N_INSTANCES,
+            "est_normals": {
+                "visible_points": int(len(vis_p)),
+                "normals_ms": dt_n * 1e3,
+                "e2e_ms": dt_e * 1e3,
+                "match": bool(v_est.match),
+                "rot_err_deg": math.degrees(v_est.rot_err),
+            },
             "device": str(jax.devices()[0]),
         },
     }))

@@ -101,6 +101,12 @@ def configure_options(argv=None) -> argparse.Namespace:
                    help="ICP correspondence rejection radius as a multiple "
                         "of d_dist; tighten (e.g. 1.0) for partial views "
                         "so occluded model points don't latch onto clutter")
+    p.add_argument("--scene_capacity", type=int, default=0,
+                   help="if >0, voxel-downsample scenes ON DEVICE to this "
+                        "static padded capacity (pad rows are unmatchable "
+                        "sentinels). Keeps shapes identical across scenes "
+                        "so batch runs over a dataset compile ONCE per "
+                        "model instead of once per scene")
     return p.parse_args(argv)
 
 
@@ -180,8 +186,20 @@ def _run(args) -> int:
     ds_scenes = []
     for sp, sn in scene_clouds:
         log.info("Scene size before filtering: %d", len(sp))
-        sp2, sn2 = pc.voxel_downsample_np(sp, sn, args.scene_leaf_size)
-        log.info("Scene size after filtering: %d", len(sp2))
+        if args.scene_capacity > 0:
+            vox = pc.voxel_downsample(sp, sn, args.scene_leaf_size,
+                                      capacity=args.scene_capacity)
+            if bool(vox.dropped):
+                log.error("scene exceeds --scene_capacity %d; raise it",
+                          args.scene_capacity)
+                return 1
+            sp2 = np.asarray(vox.points)
+            sn2 = np.asarray(vox.normals)
+            log.info("Scene size after filtering: %d (padded to %d)",
+                     int(vox.num_voxels), args.scene_capacity)
+        else:
+            sp2, sn2 = pc.voxel_downsample_np(sp, sn, args.scene_leaf_size)
+            log.info("Scene size after filtering: %d", len(sp2))
         ds_scenes.append((sp2, sn2))
     ds_models = []
     for (mp, mn), dd in zip(model_clouds, model_d_dists):

@@ -156,6 +156,8 @@ class MatchResult(NamedTuple):
     pose_votes: jax.Array     # (max_poses,) raw vote counts (desc)
     pose_keep: jax.Array      # (max_poses,) threshold survivors mask
     clustered_counts: jax.Array  # (max_poses,) clustered weighted counts
+    clustered_translations: jax.Array  # (max_poses, 3) cluster-averaged (or
+                              # grid-quantized) translations per candidate
     accumulator: jax.Array    # (R, n_m, 32) dense tallies (diagnostics)
     topk_saturated: jax.Array  # () bool: threshold survivors may exceed the
                                # static max_poses/block coverage — raise
@@ -303,6 +305,7 @@ def _match_core(model: ModelDescription, scene_points, scene_normals,
         num_votes=votes.num_votes, overflowed=votes.overflowed,
         poses=poses, pose_votes=top.counts, pose_keep=top.keep,
         clustered_counts=cl.vote_counts,
+        clustered_translations=cl.translations,
         accumulator=votes.accumulator,
         topk_saturated=top.saturated)
 
@@ -513,6 +516,14 @@ def extract_instances(result: MatchResult, diameter: float,
     keep = np.asarray(result.pose_keep)
     poses = np.asarray(result.poses)[keep]
     counts = np.asarray(result.clustered_counts)[keep]
+    # Cluster-refined translations (averaged when use_averaged_clusters,
+    # else grid-consistent) — the per-candidate analog of the winner's
+    # translation patch (ppf.cu:80-92); raw Hough translations carry the
+    # full d_dist quantization noise.
+    trans = getattr(result, "clustered_translations", None)
+    if trans is not None:
+        poses = poses.copy()
+        poses[:, :3, 3] = np.asarray(trans)[keep]
     if len(counts) == 0:
         return [], []
     order = np.argsort(-counts)

@@ -198,19 +198,36 @@ def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
     dt = ts[1] - ts[0]
 
     def sample(t_scalar):
-        pos = org_w + dirs_w * t_scalar                      # (h, w, 3)
-        ijk = jnp.floor((pos - volume.origin) / volume.voxel_size) \
-            .astype(jnp.int32)
-        inside = ((ijk[..., 0] >= 0) & (ijk[..., 0] < D) &
-                  (ijk[..., 1] >= 0) & (ijk[..., 1] < H) &
-                  (ijk[..., 2] >= 0) & (ijk[..., 2] < W))
-        ci = jnp.clip(ijk[..., 0], 0, D - 1)
-        cj = jnp.clip(ijk[..., 1], 0, H - 1)
-        ck = jnp.clip(ijk[..., 2], 0, W - 1)
-        tv = volume.tsdf[ci, cj, ck]
-        wv = volume.weight[ci, cj, ck]
+        """TRILINEAR TSDF sample at ray positions (KinFu interpolates the
+        field when locating the crossing — nearest-voxel reads quantize
+        the recovered depth to the voxel grid, ~0.5·voxel_size RMS)."""
+        pos = (org_w + dirs_w * t_scalar - volume.origin) \
+            / volume.voxel_size - 0.5                        # (h, w, 3)
+        base = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - base.astype(jnp.float32)
+        val = jnp.zeros(pos.shape[:2], jnp.float32)
+        wsum = jnp.zeros(pos.shape[:2], jnp.float32)
+        for di in (0, 1):
+            for dj in (0, 1):
+                for dk in (0, 1):
+                    ii = base[..., 0] + di
+                    jj = base[..., 1] + dj
+                    kk = base[..., 2] + dk
+                    inside = ((ii >= 0) & (ii < D) & (jj >= 0) & (jj < H) &
+                              (kk >= 0) & (kk < W))
+                    ci = jnp.clip(ii, 0, D - 1)
+                    cj = jnp.clip(jj, 0, H - 1)
+                    ck = jnp.clip(kk, 0, W - 1)
+                    tv = volume.tsdf[ci, cj, ck]
+                    wv = volume.weight[ci, cj, ck]
+                    wt = (jnp.where(di, frac[..., 0], 1 - frac[..., 0])
+                          * jnp.where(dj, frac[..., 1], 1 - frac[..., 1])
+                          * jnp.where(dk, frac[..., 2], 1 - frac[..., 2]))
+                    ok = inside & (wv > 0)
+                    val = val + jnp.where(ok, wt * tv, 0.0)
+                    wsum = wsum + jnp.where(ok, wt, 0.0)
         # Outside / unobserved reads as "empty" (+τ): no crossing there.
-        return jnp.where(inside & (wv > 0), tv,
+        return jnp.where(wsum > 0.5, val / jnp.maximum(wsum, 1e-9),
                          jnp.float32(volume.truncation))
 
     def step(carry, t_scalar):
@@ -232,7 +249,20 @@ class Surface(NamedTuple):
     points: jax.Array      # (capacity, 3) voxel centers near the surface
     normals: jax.Array     # (capacity, 3) TSDF gradient normals
     valid: jax.Array       # (capacity,) bool
-    count: jax.Array       # () int32
+    count: jax.Array       # () int32 TRUE number of surface voxels (may
+                           # exceed capacity — see overflowed)
+    overflowed: jax.Array  # () bool: surface voxels were dropped; raise
+                           # capacity (use surface_occupancy to size it)
+
+
+@jax.jit
+def surface_occupancy(volume: TSDFVolume, iso_band: float = 0.5):
+    """Number of near-surface voxels — the exact count pass that sizes
+    extract_surface's static capacity (the same capacity-from-count
+    pattern as drost._count_votes)."""
+    near = (jnp.abs(volume.tsdf) < iso_band * volume.voxel_size) \
+        & (volume.weight > 0)
+    return jnp.sum(near, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "normal_k"))
@@ -260,6 +290,7 @@ def extract_surface(volume: TSDFVolume, capacity: int = 4096,
     score = jnp.where(near, -jnp.abs(t), -jnp.inf).reshape(-1)
     vals, idx = jax.lax.top_k(score, capacity)
     valid = jnp.isfinite(vals)
+    n_near = jnp.sum(near, dtype=jnp.int32)
     i = idx // (H * W)
     j = (idx // W) % H
     k = idx % W
@@ -275,7 +306,7 @@ def extract_surface(volume: TSDFVolume, capacity: int = 4096,
     nrm = jnp.where(valid[:, None],
                     jnp.where(flip[:, None], -knn_n, knn_n), 0.0)
     return Surface(points=pts, normals=nrm, valid=valid,
-                   count=jnp.sum(valid.astype(jnp.int32)))
+                   count=n_near, overflowed=n_near > capacity)
 
 
 class StreamingRecognizer:
@@ -285,7 +316,11 @@ class StreamingRecognizer:
     (BASELINE.json config 5)."""
 
     def __init__(self, volume: TSDFVolume, config: PPFConfig = PPFConfig(),
-                 surface_capacity: int = 4096):
+                 surface_capacity: int | None = None):
+        """surface_capacity: static extraction capacity; None (default)
+        sizes it from the volume's actual surface occupancy at each
+        surface() call, rounded to capacity buckets for compile stability
+        (never overflows)."""
         self.volume = volume
         self.config = config
         self.surface_capacity = surface_capacity
@@ -306,7 +341,13 @@ class StreamingRecognizer:
         self.frames += 1
 
     def surface(self) -> Surface:
-        return extract_surface(self.volume, self.surface_capacity)
+        cap = self.surface_capacity
+        if cap is None:
+            # Capacity-from-occupancy: exact count pass + bucket rounding
+            # (same pattern as drost.match's vote-cap sizing).
+            occ = int(surface_occupancy(self.volume))
+            cap = drost._next_cap(max(occ, 1024))
+        return extract_surface(self.volume, cap)
 
     def recognize(self, names=None) -> dict[str, drost.MatchResult]:
         from objective_slam_tpu.utils import pointcloud as pc

@@ -54,6 +54,7 @@ class ShardedMatchResult(NamedTuple):
     pose_votes: jax.Array       # (D*K,) gathered raw vote counts
     pose_keep: jax.Array        # (D*K,) global-threshold survivors
     clustered_counts: jax.Array  # (D*K,) clustered weighted counts
+    clustered_translations: jax.Array  # (D*K, 3) cluster-refined translations
     topk_saturated: jax.Array   # () any shard's survivors exceeded K
 
 
@@ -262,6 +263,8 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
             pose=pose, cluster_votes=cl.vote_counts[win],
             num_votes=total_votes, overflowed=any_ovf,
             poses=g_poses, pose_votes=g_counts, pose_keep=keep,
-            clustered_counts=cl.vote_counts, topk_saturated=saturated)
+            clustered_counts=cl.vote_counts,
+            clustered_translations=cl.translations,
+            topk_saturated=saturated)
 
     return matcher

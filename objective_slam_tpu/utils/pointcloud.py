@@ -289,6 +289,59 @@ def estimate_normals_grid(points, radius, viewpoint=(0.0, 0.0, 0.0),
     return jnp.where(flip[:, None], -normal, normal)
 
 
+def smooth_normals_grid(points, normals, radius, dims=None,
+                        iterations: int = 1):
+    """Box-average a noisy normal FIELD over the 27-cell grid neighborhood
+    (leaf = radius) — same O(n + grid) machinery as estimate_normals_grid,
+    but smoothing GIVEN normals instead of re-deriving them from point
+    positions, so the input's orientation convention is preserved (each
+    output normal is sign-aligned with its input).
+
+    This is the noise-cliff fix (EVAL.md §3): PPF features are
+    normal-driven (kernel.cu:109-122), and at sensor-noise levels the
+    per-point normal error — not the voting — is what collapses the match
+    rate. Averaging ~k neighborhood normals shrinks iid angular noise by
+    ~1/√k while the surface's low-frequency orientation survives (the
+    neighborhood is ≲ 3·radius across; keep radius ≈ the scan's leaf).
+
+    Args:
+      points: (n, 3). normals: (n, 3) noisy unit normals.
+      radius: grid leaf (smoothing scale).
+      dims: optional static grid shape (see estimate_normals_grid).
+      iterations: smoothing passes (each widens the kernel by ~one cell).
+    """
+    p_np = None
+    if dims is None:
+        p_np = np.asarray(points, np.float32)
+        lo_h = p_np.min(axis=0)
+        hi_h = p_np.max(axis=0)
+        dims = tuple(int(d) + 1 for d in
+                     np.floor((hi_h - lo_h) / float(radius)).astype(np.int64))
+    dx, dy, dz = dims
+    n_cells = dx * dy * dz
+
+    p = jnp.asarray(points, jnp.float32)
+    nr = jnp.asarray(normals, jnp.float32)
+    lo = jnp.min(p, axis=0)
+    cell = jnp.clip(jnp.floor((p - lo) / jnp.float32(radius)).astype(
+        jnp.int32), 0, jnp.asarray([dx - 1, dy - 1, dz - 1]))
+    key = (cell[:, 0] * dy + cell[:, 1]) * dz + cell[:, 2]
+
+    out = nr
+    for _ in range(iterations):
+        grid = jax.ops.segment_sum(out, key, num_segments=n_cells)
+        grid = _box3(grid.reshape(dx, dy, dz, 3)).reshape(n_cells, 3)
+        s = jnp.take(grid, key, axis=0)                   # (n, 3) row gather
+        norm = jnp.linalg.norm(s, axis=1, keepdims=True)
+        sm = s / jnp.where(norm > 1e-12, norm, 1.0)
+        # Keep each point's hemisphere; a degenerate (cancelled) average
+        # falls back to the input normal.
+        flip = jnp.sum(sm * out, axis=-1, keepdims=True) < 0
+        sm = jnp.where(flip, -sm, sm)
+        out = jnp.where(norm > 1e-6, sm, out)
+    return out
+
+
 def mesh_vertex_normals(points, faces):
     """Area-weighted vertex normals from a triangle mesh — the MATLAB
     offline path (compute_normals.m: triangulation vertexNormal)."""

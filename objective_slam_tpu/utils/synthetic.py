@@ -143,6 +143,53 @@ def bumpy_mesh(subdiv: int = 3, bumps: float = 0.3):
             faces.astype(np.int32))
 
 
+def torus_mesh(nu: int = 64, nv: int = 32, major: float = 1.0,
+               minor: float = 0.4, wobble: float = 0.35):
+    """Closed genus-1 triangle mesh (torus) — a structurally distinct test
+    shape for the UWA-analog occlusion study (its surface has no spherical
+    topology, unlike the bumpy blobs; PPF feature statistics differ
+    qualitatively). `wobble` varies the tube radius and lifts the tube
+    center along the ring ASYMMETRICALLY — a perfect torus is rotationally
+    symmetric about its axis, which makes 'the' 6-DoF pose ill-posed for
+    validation. Returns (vertices (nu·nv, 3) f32, faces int32)."""
+    iu = np.arange(nu)
+    iv = np.arange(nv)
+    u = 2.0 * np.pi * iu / nu
+    v = 2.0 * np.pi * iv / nv
+    uu, vv = np.meshgrid(u, v, indexing="ij")           # (nu, nv)
+    r_u = minor * (1.0 + wobble * (0.6 * np.sin(3 * uu)
+                                   + 0.4 * np.cos(2 * uu + 1.0)))
+    x = (major + r_u * np.cos(vv)) * np.cos(uu)
+    y = (major + r_u * np.cos(vv)) * np.sin(uu)
+    z = r_u * np.sin(vv) + wobble * 0.4 * minor * np.sin(2 * uu + 0.5)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            faces += [[a, b, c], [a, c, d]]
+    return (verts.astype(np.float32), np.asarray(faces, np.int32))
+
+
+def superellipsoid_mesh(subdiv: int = 4, p: float = 4.0,
+                        bumps: float = 0.0):
+    """Closed rounded-box triangle mesh: the unit icosphere remapped onto
+    the p-norm unit ball (p = 4 gives a box with rounded edges — flat
+    faces + sharp creases, the opposite feature regime from the blobs).
+    Optional radial bumps on top. Returns (vertices f32, faces int32)."""
+    verts, faces = bumpy_mesh(subdiv=subdiv, bumps=0.0)
+    verts = verts.astype(np.float64)
+    unit = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    s = (np.abs(unit) ** p).sum(axis=1) ** (-1.0 / p)
+    out = unit * s[:, None]
+    if bumps > 0:
+        out = out * _bump_field(unit, bumps)[:, None]
+    return out.astype(np.float32), faces
+
+
 def partial_view(points, normals, viewpoint, res: int = 96,
                  depth_tol: float = 0.05):
     """Self-occlusion culling: keep the points a sensor at `viewpoint`

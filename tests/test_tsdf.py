@@ -181,6 +181,27 @@ def test_raycast_depth_roundtrip(rng):
     assert np.median(err) < 0.06, np.median(err)
 
 
+def test_surface_capacity_overflow_and_occupancy(rng):
+    """extract_surface reports dropped surface voxels; surface_occupancy
+    provides the exact count that sizes a never-overflowing capacity (the
+    StreamingRecognizer default)."""
+    sp, _ = _depth_sphere(rng, 60_000)
+    vol = tsdf.make_volume(origin=(0.0, 0.0, 0.0), dims=(64, 64, 64),
+                           voxel_size=0.05)
+    center = np.float32([1.6, 1.6, 1.6])
+    T_cw = synthetic.look_at(center + np.float32([0.0, -2.2, 0.2]), center)
+    depth = synthetic.render_depth(sp, T_cw, _INTR, _SHAPE)
+    vol = tsdf.integrate_depth(vol, depth, _INTR, T_cw)
+
+    occ = int(tsdf.surface_occupancy(vol))
+    assert occ > 256
+    tiny = tsdf.extract_surface(vol, capacity=128)
+    assert bool(tiny.overflowed) and int(tiny.count) == occ
+    sized = tsdf.extract_surface(vol, capacity=((occ + 127) // 128) * 128)
+    assert not bool(sized.overflowed)
+    assert int(jnp.sum(sized.valid)) == occ
+
+
 def test_streaming_recognizer_depth_frames(rng):
     """StreamingRecognizer.integrate_depth_frame: recognize a planted model
     from a depth-fused surface. The model description is built through the

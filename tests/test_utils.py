@@ -115,6 +115,39 @@ def test_grid_normals_match_knn_on_sphere(rng):
     assert np.quantile(cos, 0.05) > 0.9   # outward-oriented radial normals
 
 
+def test_smooth_normals_grid_denoises(rng):
+    """Box-averaging a noisy normal field on a sphere must cut the angular
+    error substantially while preserving orientation (sign)."""
+    v = rng.normal(size=(4000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = v.astype(np.float32)
+    noisy = v + rng.normal(scale=0.25, size=v.shape)
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    noisy = noisy.astype(np.float32)
+    sm = np.asarray(pc.smooth_normals_grid(pts, noisy, radius=0.18))
+    err_in = np.degrees(np.arccos(np.clip(np.sum(noisy * v, axis=1),
+                                          -1, 1)))
+    err_out = np.degrees(np.arccos(np.clip(np.sum(sm * v, axis=1),
+                                           -1, 1)))
+    assert err_out.mean() < 0.5 * err_in.mean(), (err_in.mean(),
+                                                  err_out.mean())
+    # unit length + orientation preserved
+    np.testing.assert_allclose(np.linalg.norm(sm, axis=1), 1.0, atol=1e-4)
+    assert (np.sum(sm * v, axis=1) > 0).mean() > 0.99
+
+
+def test_saturating_total():
+    import jax.numpy as jnp
+    from objective_slam_tpu.ops import voting
+
+    rows = jnp.asarray([123456, 789, 0, 2**30], jnp.int32)
+    exact = int(np.asarray(rows, np.int64).sum())
+    assert int(voting.saturating_total(rows)) == exact
+    # grand total past int32: saturates to INT32_MAX instead of wrapping
+    rows2 = jnp.asarray([2**30, 2**30, 2**30], jnp.int32)
+    assert int(voting.saturating_total(rows2)) == 2**31 - 1
+
+
 def test_bumpy_mesh_is_closed():
     from objective_slam_tpu.utils import synthetic
     verts, faces = synthetic.bumpy_mesh(subdiv=2)

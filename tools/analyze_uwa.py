@@ -100,7 +100,13 @@ def main(argv=None) -> int:
     p.add_argument("run_dirs", nargs="+")
     p.add_argument("--plot", type=str, default=None,
                    help="basename for output plots (requires matplotlib)")
+    p.add_argument("--diam", action="append", default=[],
+                   help="extra/override model diameter as name=value "
+                        "(repeatable) for non-UWA datasets")
     args = p.parse_args(argv)
+    for d in args.diam:
+        name, val = d.split("=")
+        MODEL_DIAMS[name.strip()] = float(val)
 
     runs = []
     for d in args.run_dirs:

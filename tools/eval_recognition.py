@@ -124,7 +124,12 @@ def main():
     desc = ost.build_model_description(mp, mn, cfg0, d_dist=d_dist)
     leaf = d_dist
 
-    engines = ["fast", "reference", "correlation", "fast+rescore"]
+    # "fast+smooth" = exact engine on a scene whose noisy normal field
+    # was box-averaged on device first (pc.smooth_normals_grid) — the
+    # noise-cliff countermeasure: PPF features are normal-driven and the
+    # sigma=0.5 collapse is a normal-quality failure, not a voting one.
+    engines = ["fast", "reference", "correlation", "fast+rescore",
+               "fast+smooth"]
     cfgs = {e: PPFConfig(max_poses=512, ref_point_df=5,
                          engine=e.split("+")[0],
                          rescore_poses=e.endswith("+rescore"))
@@ -154,7 +159,7 @@ def main():
         + voting_block.CHUNK_ROWS * n_ref * 128)
     cap_ref = drost._next_cap(2 * max(t for t, _ in probe_caps))
     caps = {"fast": cap_block, "reference": cap_ref, "correlation": 0,
-            "fast+rescore": cap_block}
+            "fast+rescore": cap_block, "fast+smooth": cap_block}
     print(f"[eval] caps: block {cap_block}, reference {cap_ref}",
           file=sys.stderr, flush=True)
 
@@ -170,9 +175,14 @@ def main():
                     noise_rel=noise, leaf=leaf)
                 vox = pc.voxel_downsample(sp, sn, leaf,
                                           capacity=vox_capacity)
+                sn_smooth = np.asarray(pc.smooth_normals_grid(sp, sn, leaf))
+                vox_s = pc.voxel_downsample(sp, sn_smooth, leaf,
+                                            capacity=vox_capacity)
                 poses = {}
                 for e in engines:
-                    res = drost._match_jit(desc, vox.points, vox.normals,
+                    vox_e = vox_s if e == "fast+smooth" else vox
+                    res = drost._match_jit(desc, vox_e.points,
+                                           vox_e.normals,
                                            cfgs[e].ref_point_df, caps[e],
                                            cfgs[e])
                     pose = np.asarray(res.pose)

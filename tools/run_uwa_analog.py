@@ -1,0 +1,244 @@
+"""UWA-analog occlusion benchmark: generate → CLI runs → analyze_uwa.
+
+Reproduces the reference's entire dataset-level QA workflow
+(pcl/alignment/analyze_mian.py:75-195 over `alignment` CLI logs) on
+generated data, since the real UWA scans are not obtainable in this
+environment (zero egress): four structurally DISTINCT closed mesh models
+(bumpy blob, elongated blob, wobbled torus, bumpy rounded box — named
+chef/trex/para/chicken and scaled to the UWA diameters so analyze_uwa's
+fixed constants apply), each partially visible in every scene from a
+random sensor viewpoint (z-buffer self-occlusion, like a real scan),
+among planar clutter.
+
+Per scene: ONE CLI invocation matches all four models (the reference's
+scene × model loop), writes the rs<scene>_0.log file analyze_mian-style
+logs, and prints four 0/1 match bits. Ground-truth occlusion percentages
+go to occlusion.txt. Finally tools/analyze_uwa.py computes match rates and
+error-vs-occlusion curves.
+
+All scenes share one static point budget and the CLI runs with
+--scene_capacity, so the whole sweep compiles once per model (+ a few
+vote-capacity buckets) instead of once per scene.
+
+Usage:
+  python tools/run_uwa_analog.py --outdir /tmp/uwa_analog [--scenes 30]
+  python tools/run_uwa_analog.py --quick        # CI-scale smoke (2 scenes)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import analyze_uwa  # noqa: E402
+
+N_TOTAL = 26_000          # raw scene points (static across scenes)
+SCENE_LEAF_FACTOR = 0.05  # scene leaf ≈ half the models' d_dist (tau_d 0.1)
+
+
+def build_models():
+    """Four distinct closed meshes at UWA diameters. Returns
+    {name: (verts, faces)}."""
+    from objective_slam_tpu.utils import pointcloud as pc, synthetic
+
+    out = {}
+    v, f = synthetic.bumpy_mesh(subdiv=4, bumps=0.35)
+    out["chef"] = (v, f)
+    v, f = synthetic.bumpy_mesh(subdiv=4, bumps=0.5)
+    v = (v * np.float32([1.0, 0.45, 0.4]))          # elongated
+    out["trex"] = (v, f)
+    v, f = synthetic.torus_mesh()                   # genus-1, wobbled
+    out["para"] = (v, f)
+    v, f = synthetic.superellipsoid_mesh(subdiv=4, p=4.0, bumps=0.2)
+    out["chicken"] = (v, f)                         # rounded box + bumps
+
+    for name, (v, f) in out.items():
+        scale = analyze_uwa.MODEL_DIAMS[name] / pc.bbox_diameter(v)
+        out[name] = ((v * scale).astype(np.float32), f)
+    return out
+
+
+def build_scene(rng, models, normals):
+    """One cluttered scene containing a partial view of EVERY model at a
+    random pose (the UWA scenes hold all 4-5 objects). Returns
+    (scene_pts, scene_nrm, {name: (T_true, occl_pct)})."""
+    from objective_slam_tpu.utils import synthetic
+
+    scale = max(analyze_uwa.MODEL_DIAMS.values())
+    sp = np.zeros((0, 3), np.float32)
+    sn = np.zeros((0, 3), np.float32)
+    truths = {}
+    centers = []
+    for name, (verts, _faces) in models.items():
+        nrm = normals[name]
+        # Sensor viewpoint in the MODEL frame -> self-occlusion culling.
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        vp = d * 4.0 * analyze_uwa.MODEL_DIAMS[name]
+        vis = synthetic.partial_view(verts, nrm, vp)
+        occl = 100.0 * (1.0 - float(vis.mean()))
+        # Non-overlapping placement (>= 1.2 mean diameters apart).
+        while True:
+            t = rng.uniform(-1.6, 1.6, size=3).astype(np.float32) * scale
+            if all(np.linalg.norm(t - c) > 1.2 * scale for c in centers):
+                break
+        centers.append(t)
+        sp, sn, T = synthetic.plant_model(rng, verts[vis], nrm[vis], sp, sn,
+                                          translation=t)
+        truths[name] = (T, occl)
+
+    # Planar clutter fills the fixed budget (static shapes across scenes).
+    n_clutter = N_TOTAL - len(sp)
+    per = n_clutter // 6
+    parts_p, parts_n = [], []
+    for b in range(6):
+        cnt = per if b < 5 else n_clutter - 5 * per
+        u = rng.uniform(-1.3, 1.3, size=(cnt, 2)) * scale
+        z = rng.normal(scale=0.004 * scale, size=(cnt, 1))
+        pts = np.concatenate([u, z], axis=1)
+        q = synthetic.random_rotation_quat(rng)
+        R = synthetic.quat_to_matrix(q)
+        off = rng.uniform(-1.8, 1.8, size=3) * scale
+        parts_p.append((pts @ R.T + off).astype(np.float32))
+        parts_n.append(np.tile(R[:, 2].astype(np.float32), (cnt, 1)))
+    sp = np.concatenate([sp] + parts_p)
+    sn = np.concatenate([sn] + parts_n)
+    return sp.astype(np.float32), sn.astype(np.float32), truths
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", type=str, default="/tmp/uwa_analog")
+    ap.add_argument("--scenes", type=int, default=30)
+    ap.add_argument("--quick", action="store_true",
+                    help="2 scenes, coarser models (CI smoke)")
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args(argv)
+    if args.quick:
+        args.scenes = 2
+
+    from objective_slam_tpu import cli
+    from objective_slam_tpu.utils import ply, pointcloud as pc, validation
+
+    t0 = time.time()
+    out = Path(args.outdir)
+    run_dir = out / "run1"
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    models = build_models()
+    names = list(models)
+    normals = {n: pc.mesh_vertex_normals(v, f)
+               for n, (v, f) in models.items()}
+    model_paths = []
+    for n, (v, f) in models.items():
+        p = out / f"{n}_model.ply"
+        ply.write_ply(p, v, normals[n], faces=f)
+        model_paths.append(str(p))
+        print(f"[uwa-analog] model {n}: {len(v)} verts, "
+              f"diam {analyze_uwa.MODEL_DIAMS[n]:.1f}",
+              file=sys.stderr, flush=True)
+
+    scale = max(analyze_uwa.MODEL_DIAMS.values())
+    scene_leaf = SCENE_LEAF_FACTOR * scale
+
+    # Static voxel capacity across all scenes: probe scene 0, pad 15%.
+    rng = np.random.default_rng(args.seed)
+    scenes = []
+    occl_lines = ["scene model occlusion"]
+    for s in range(args.scenes):
+        sp, sn, truths = build_scene(rng, models, normals)
+        assert len(sp) == N_TOTAL
+        scenes.append((sp, sn, truths))
+        for n in names:
+            occl_lines.append(f"{s + 1} {n} {truths[n][1]:.1f}")
+    occs = [int(pc.voxel_downsample_np(sp, None, scene_leaf)[0].shape[0])
+            for sp, _, _ in scenes[:4]]
+    capacity = ((int(max(occs) * 1.15) + 127) // 128) * 128
+    print(f"[uwa-analog] scene occupancies {occs}, capacity {capacity}",
+          file=sys.stderr, flush=True)
+
+    (out / "occlusion.txt").write_text("\n".join(occl_lines) + "\n")
+
+    bits = []
+    for s, (sp, sn, truths) in enumerate(scenes):
+        scene_path = out / f"rs{s + 1}.ply"
+        ply.write_ply(scene_path, sp, sn)
+        tpaths = []
+        for n in names:
+            tp = out / f"rs{s + 1}_{n}_truth.txt"
+            validation.write_truth_file(tp, truths[n][0])
+            tpaths.append(str(tp))
+        import io
+        import contextlib
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "--scene_files", str(scene_path),
+                "--model_files", ",".join(model_paths),
+                "--tau_d", ",".join(["0.1"] * len(names)),
+                "--scene_leaf_size", str(scene_leaf),
+                "--scene_capacity", str(capacity),
+                "--ref_point_df", "2",
+                "--icp_iterations", "12",
+                "--icp_max_dist_factor", "1.0",
+                "--validation_files", ",".join(tpaths),
+                "--loglevel", "info",
+                "--logfile", str(run_dir / f"rs{s + 1}_0.log"),
+            ])
+        assert rc == 0
+        row = [int(b) for b in buf.getvalue().split()]
+        bits.append(row)
+        print(f"[uwa-analog] scene {s + 1}/{args.scenes}: "
+              f"{dict(zip(names, row))} ({time.time() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+
+    # The reference's analysis step, verbatim workflow.
+    rcode = analyze_uwa.main([str(out / "occlusion.txt"), str(run_dir),
+                              "--plot", str(out / "uwa_analog")])
+    assert rcode == 0
+
+    data = analyze_uwa.read_occlusion_txt(out / "occlusion.txt")
+    analyze_uwa.read_run_dir(data, run_dir)
+    occl, nd, rot, match = analyze_uwa.analyze(data)
+    per_model = {}
+    for n in names:
+        rows = [r for r in data if len(r) > 3 and r[1] == n]
+        m = [r[3][0] <= 0.3 * analyze_uwa.MODEL_DIAMS[n]
+             and min(r[3][1], 2 * np.pi - r[3][1]) <= analyze_uwa.TWELVE_DEG
+             for r in rows]
+        per_model[n] = {"n": len(rows),
+                        "match_rate": float(np.mean(m)) if m else 0.0}
+    # Occlusion-binned match rates (the error-vs-occlusion curve data).
+    bins = [(0, 50), (50, 65), (65, 80), (80, 101)]
+    curve = []
+    for lo, hi in bins:
+        sel = (occl >= lo) & (occl < hi)
+        if sel.sum():
+            curve.append({"occ_bin": f"{lo}-{hi}",
+                          "n": int(sel.sum()),
+                          "match_rate": float(match[sel].mean()),
+                          "median_rot_deg": float(np.degrees(
+                              np.median(rot[sel])))})
+    summary = {
+        "scenes": args.scenes, "models": names,
+        "match_rate": float(match.mean()),
+        "per_model": per_model, "occlusion_curve": curve,
+        "trans_err_diam_median": float(np.median(nd)),
+        "rot_err_rad_median": float(np.median(rot)),
+        "wall_s": time.time() - t0,
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
