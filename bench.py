@@ -286,16 +286,33 @@ def main():
              f"(candidates {len(poses_mi)})")
 
     # ---- Estimated-normals run (xyz-only sensor frame; timed) ----
-    # A partial view of seed-0's scene from a fixed sensor viewpoint,
-    # normals estimated ON DEVICE (estimate_normals_grid) with viewpoint
-    # orientation — the real-scan path where no oracle normals exist.
+    # A partial view of seed-0's scene from a fixed sensor viewpoint. BOTH
+    # sides carry normals estimated ON DEVICE from xyz alone
+    # (estimate_normals_grid): the model with outward orientation
+    # (offline, like preparing a model from a raw scan), the scene with
+    # viewpoint orientation per frame (timed). Estimating only the scene
+    # would MIX conventions: blob_cloud's analytic normals are RADIAL by
+    # construction, ~30 deg off the true bumpy surface normal an estimator
+    # recovers — consistent estimation on both sides is the real-scan
+    # configuration (PCL NormalEstimation upstream of the reference's
+    # PLYs, SURVEY.md §7 step 2).
     from objective_slam_tpu.utils import synthetic
 
     sp0, sn0, truths0 = scenes[0]
     viewpoint = np.array([0.0, -14.0, 7.0], np.float32)
     vis_mask = synthetic.partial_view(sp0, sn0, viewpoint)
     vis_p = np.asarray(sp0[vis_mask], np.float32)
-    nrm_radius = float(scene_leaf)
+    nrm_radius = 0.6 * float(scene_leaf)
+
+    lo_m = mp_raw.min(axis=0)
+    hi_m = mp_raw.max(axis=0)
+    dims_m = tuple(int(d) + 1 for d in
+                   np.floor((hi_m - lo_m) / nrm_radius).astype(np.int64))
+    mn_est = np.asarray(pc.estimate_normals_grid(
+        mp_raw, nrm_radius, orient="outward", dims=dims_m))
+    mp_e, mn_e = pc.voxel_downsample_np(mp_raw, mn_est, d_dist)
+    desc_est = ost.build_model_description(mp_e, mn_e, cfg, d_dist=d_dist)
+
     lo_h = vis_p.min(axis=0)
     hi_h = vis_p.max(axis=0)
     dims = tuple(int(d) + 1 for d in
@@ -310,7 +327,7 @@ def main():
         capacity=len(vis_p)).num_voxels)
     vis_cap = ((int(vis_occ * 1.05) + 127) // 128) * 128
     tE, rE, gE = _count_votes(
-        desc, *(lambda v: (v.points, v.normals))(
+        desc_est, *(lambda v: (v.points, v.normals))(
             pc.voxel_downsample(vis_p, np.asarray(est_normals(vis_p)),
                                 scene_leaf, capacity=vis_cap)),
         cfg.ref_point_df, cfg.d_angle)
@@ -322,9 +339,9 @@ def main():
     def run_est(raw_p):
         nrm = est_normals(raw_p)
         vox = pc.voxel_downsample(raw_p, nrm, scene_leaf, capacity=vis_cap)
-        return _match_core(desc, vox.points, vox.normals,
+        return _match_core(desc_est, vox.points, vox.normals,
                            ref_point_df=cfg.ref_point_df, vote_cap=cap_e,
-                           config=cfg, icp_points=raw_p, seg_cap=seg_e)
+                           config=cfg, icp_points=raw_p[::2], seg_cap=seg_e)
     run_est_j = jax.jit(run_est)
     nrm_j = jax.jit(lambda p: jnp.sum(est_normals(p) * p))
     vis_dev = jax.device_put(vis_p)
@@ -332,8 +349,8 @@ def main():
                 for r in range(REPS)]
     dt_n, _ = _time(nrm_j, est_args, (vis_dev,))
     dt_e, res_est = _time(run_est_j, est_args, (vis_dev,))
-    v_est = validate_best(np.asarray(res_est.pose), truths0, desc.diameter,
-                          cfg)
+    v_est = validate_best(np.asarray(res_est.pose), truths0,
+                          desc_est.diameter, cfg)
     _log(f"est-normals: {len(vis_p)} visible pts, normals {dt_n*1e3:.1f}ms, "
          f"e2e {dt_e*1e3:.1f}ms, match {v_est.match} "
          f"rot {math.degrees(v_est.rot_err):.2f}")

@@ -376,13 +376,18 @@ def _next_cap(x: int) -> int:
 def match(model: ModelDescription, scene_points, scene_normals,
           config: PPFConfig = PPFConfig(),
           vote_cap: int | None = None, icp_points=None,
-          icp_normals=None) -> MatchResult:
+          icp_normals=None, runs_cap: int | None = None) -> MatchResult:
     """Match a model description against a scene cloud.
 
     When vote_cap is None, an exact count pass sizes the vote buffer and
     rounds it up to a power of two — never overflows, with at most
     log2-many distinct compilations. Pass an explicit vote_cap for
     fully-static pipelines (and check `result.overflowed`).
+
+    runs_cap (correlation engine only): STARTING capacity for the
+    unique-cell compaction; None uses the engine's built-in heuristic.
+    Either way the auto-retry loop below guarantees the returned result is
+    never truncated, so this is purely a recompile/VMEM tuning knob.
 
     icp_points: optional full-resolution scene cloud; when config.refine_icp
     is set, ICP refines against this instead of the (typically voxelized)
@@ -401,7 +406,7 @@ def match(model: ModelDescription, scene_points, scene_normals,
         n_s = int(np.asarray(scene_points).shape[0])
         R = (n_s + config.ref_point_df - 1) // config.ref_point_df
         S = R * n_s
-        rc = None                 # engine-internal default first
+        rc = runs_cap             # None → engine-internal default first
         while True:
             res = _match_jit(model, scene_points, scene_normals,
                              config.ref_point_df, 0, config,

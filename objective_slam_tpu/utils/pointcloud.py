@@ -159,6 +159,47 @@ def center_scene(points, offset=1.0):
     return p + shift, T
 
 
+def _smallest_eigvec_sym3(cov):
+    """Unit eigenvector of the SMALLEST eigenvalue of each symmetric 3×3 —
+    closed form (trigonometric eigenvalues + cross-product eigenvector,
+    Eberly's robust recipe), fully vectorized on the VPU.
+
+    Replaces jnp.linalg.eigh, whose batched QR iteration costs ~115 ms for
+    33k matrices on TPU v5e (measured) vs ~1 ms here. Accuracy is ample for
+    surface normals: the relevant eigengap (surface-tangent vs normal
+    variance) is large wherever a normal is meaningful; near-isotropic
+    neighborhoods fall back to +z.
+
+    cov: (n, 3, 3) float32 symmetric. Returns (n, 3) unit vectors."""
+    eye = jnp.eye(3, dtype=jnp.float32)
+    q = jnp.trace(cov, axis1=-2, axis2=-1) / 3.0
+    B = cov - q[:, None, None] * eye
+    p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    Bn = B / p[:, None, None]
+    half_det = jnp.linalg.det(Bn) / 2.0
+    phi = jnp.arccos(jnp.clip(half_det, -1.0, 1.0)) / 3.0
+    lam_min = q + 2.0 * p * jnp.cos(phi + jnp.float32(2.0 * np.pi / 3.0))
+
+    M = cov - lam_min[:, None, None] * eye
+    c0 = jnp.cross(M[:, 0], M[:, 1])
+    c1 = jnp.cross(M[:, 0], M[:, 2])
+    c2 = jnp.cross(M[:, 1], M[:, 2])
+    n0 = jnp.sum(c0 * c0, axis=-1)
+    n1 = jnp.sum(c1 * c1, axis=-1)
+    n2 = jnp.sum(c2 * c2, axis=-1)
+    best = jnp.where((n1 >= n0)[:, None] & (n1 >= n2)[:, None], c1,
+                     jnp.where((n2 >= n0)[:, None], c2, c0))
+    nbest = jnp.maximum(n0, jnp.maximum(n1, n2))
+    nrm = jnp.linalg.norm(best, axis=-1, keepdims=True)
+    unit = best / jnp.maximum(nrm, 1e-30)
+    # Degenerate (isotropic / zero) neighborhoods: fall back to +z.
+    fallback = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                                unit.shape)
+    ok = (nbest > 1e-20) & (p2 > 1e-24)
+    return jnp.where(ok[:, None], unit, fallback)
+
+
 def estimate_normals_knn(points, k: int = 16, viewpoint=(0.0, 0.0, 0.0),
                          orient: str = "viewpoint"):
     """k-NN PCA surface normals.
@@ -191,9 +232,9 @@ def estimate_normals_knn(points, k: int = 16, viewpoint=(0.0, 0.0, 0.0),
     centered = nbrs - mean
     cov = jnp.einsum("nki,nkj->nij", centered, centered,
                      precision=_HI) / k
-    # Smallest-eigenvalue eigenvector of each symmetric 3x3.
-    w, v = jnp.linalg.eigh(cov)
-    normal = v[..., 0]                                            # (n, 3)
+    # Smallest-eigenvalue eigenvector of each symmetric 3x3 (closed form —
+    # batched eigh is ~100x slower on TPU, see _smallest_eigvec_sym3).
+    normal = _smallest_eigvec_sym3(cov)                           # (n, 3)
     if orient == "outward":
         ref_dir = p - jnp.mean(p, axis=0)
     else:
@@ -213,7 +254,8 @@ def _box3(x):
 
 
 def estimate_normals_grid(points, radius, viewpoint=(0.0, 0.0, 0.0),
-                          orient: str = "viewpoint", dims=None):
+                          orient: str = "viewpoint", dims=None,
+                          box_filter: bool = True):
     """Scalable surface-normal estimation for large raw scans.
 
     `estimate_normals_knn` materializes the n×n distance matrix — 4×10¹⁰
@@ -237,6 +279,12 @@ def estimate_normals_grid(points, radius, viewpoint=(0.0, 0.0, 0.0),
       points: (n, 3). radius: neighborhood scale (voxel leaf).
       dims: optional static (dx, dy, dz) grid shape; computed from the
         cloud's bbox on the host when omitted (requires concrete points).
+      box_filter: True = 27-cell neighborhood (window ~3·radius; right for
+        noisy scans of smooth surfaces). False = the point's OWN cell only
+        (window ~radius) — use for CURVED surfaces whose feature wavelength
+        is within a few radii: the wide box window biases PCA normals by
+        10-20° there (measured on the bench blobs), which scrambles the
+        12° PPF angle bins.
     """
     p_np = None
     if dims is None:
@@ -260,7 +308,8 @@ def estimate_normals_grid(points, radius, viewpoint=(0.0, 0.0, 0.0),
         jnp.ones((n, 1), jnp.float32), p,
         p * p, p[:, [0, 0, 1]] * p[:, [1, 2, 2]]], axis=1)    # (n, 10)
     grid = jax.ops.segment_sum(mom, key, num_segments=n_cells)
-    grid = _box3(grid.reshape(dx, dy, dz, 10)).reshape(n_cells, 10)
+    if box_filter:
+        grid = _box3(grid.reshape(dx, dy, dz, 10)).reshape(n_cells, 10)
 
     s = jnp.take(grid, key, axis=0)                            # (n, 10) ONE row gather
     cnt = jnp.maximum(s[:, 0], 1.0)[:, None]
@@ -279,8 +328,7 @@ def estimate_normals_grid(points, radius, viewpoint=(0.0, 0.0, 0.0),
     cov = cov.at[:, 2, 0].set(cov[:, 0, 2])
     cov = cov.at[:, 2, 1].set(cov[:, 1, 2])
 
-    w, v = jnp.linalg.eigh(cov)
-    normal = v[..., 0]
+    normal = _smallest_eigvec_sym3(cov)
     if orient == "outward":
         ref_dir = p - jnp.mean(p, axis=0)
     else:

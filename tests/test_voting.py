@@ -268,6 +268,47 @@ def test_correlation_engine_recovers_pose(rng):
     assert v.match, (v.trans_err, v.rot_err)
 
 
+def test_correlation_runs_cap_overflow_and_retry(rng):
+    """An undersized unique-cell compaction cap must (a) raise the
+    `overflowed` flag at the engine level — never silently truncate — and
+    (b) be healed transparently by drost.match's auto-retry loop
+    (drost.py match() correlation branch), yielding tallies identical to
+    an uncapped run."""
+    from objective_slam_tpu.ops import voting_corr
+    from objective_slam_tpu.utils import synthetic, validation
+    import objective_slam_tpu as ost
+
+    cfg = PPFConfig(engine="correlation", max_poses=256)
+    mp, mn = synthetic.blob_cloud(rng, 90)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    desc = drost.build_model_description(mp, mn, cfg)
+
+    # (a) Engine level: runs_cap far below the unique-cell count.
+    n_s = sp.shape[0]
+    ref_idx = jnp.arange(0, n_s, dtype=jnp.int32)
+    keys, alpha_s = ppf_ops.pairwise_ppf_keys(
+        sp, sn, desc.d_dist, cfg.d_angle, desc.max_dist_bin,
+        ref_indices=ref_idx)
+    capped = voting_corr.cast_votes_corr(keys, alpha_s, desc.corr_tables,
+                                         desc.n_points, runs_cap=128)
+    assert bool(capped.overflowed)
+    full = voting_corr.cast_votes_corr(keys, alpha_s, desc.corr_tables,
+                                       desc.n_points)
+    assert not bool(full.overflowed)
+
+    # (b) match() level: a starting cap of 128 must retry up the capacity
+    # buckets and converge to the same (non-overflowed) result.
+    res = ost.match(desc, sp, sn, cfg, runs_cap=128)
+    assert not bool(res.overflowed)
+    ref_res = ost.match(desc, sp, sn, cfg)
+    np.testing.assert_array_equal(np.asarray(res.accumulator),
+                                  np.asarray(ref_res.accumulator))
+    assert int(res.num_votes) == int(ref_res.num_votes)
+    v = validation.validate_pose(np.asarray(res.pose), T_true,
+                                 desc.diameter, cfg)
+    assert v.match, (v.trans_err, v.rot_err)
+
+
 def test_fast_engine_unpacked_fallback(rng):
     """The two-lookup fallback tables (large models / big buckets) must
     produce the same accumulator as the packed single-lookup path."""

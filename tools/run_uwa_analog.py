@@ -40,8 +40,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import analyze_uwa  # noqa: E402
 
-N_TOTAL = 26_000          # raw scene points (static across scenes)
-SCENE_LEAF_FACTOR = 0.05  # scene leaf ≈ half the models' d_dist (tau_d 0.1)
+N_TOTAL = 26_000           # raw scene points (static across scenes)
+SCENE_LEAF_FACTOR = 0.075  # scene leaf vs max model diameter — the
+                           # reference ratio (scene_leaf 10 vs chef d_dist
+                           # 13.66, alignment.cpp defaults)
 
 
 def build_models():
@@ -73,10 +75,9 @@ def build_scene(rng, models, normals):
     from objective_slam_tpu.utils import synthetic
 
     scale = max(analyze_uwa.MODEL_DIAMS.values())
-    sp = np.zeros((0, 3), np.float32)
-    sn = np.zeros((0, 3), np.float32)
-    truths = {}
-    centers = []
+    # Partial views first (their sizes set the clutter budget — scenes stay
+    # at EXACTLY N_TOTAL points so the whole sweep shares static shapes).
+    views = {}
     for name, (verts, _faces) in models.items():
         nrm = normals[name]
         # Sensor viewpoint in the MODEL frame -> self-occlusion culling.
@@ -84,33 +85,44 @@ def build_scene(rng, models, normals):
         d /= np.linalg.norm(d)
         vp = d * 4.0 * analyze_uwa.MODEL_DIAMS[name]
         vis = synthetic.partial_view(verts, nrm, vp)
-        occl = 100.0 * (1.0 - float(vis.mean()))
-        # Non-overlapping placement (>= 1.2 mean diameters apart).
-        while True:
-            t = rng.uniform(-1.6, 1.6, size=3).astype(np.float32) * scale
-            if all(np.linalg.norm(t - c) > 1.2 * scale for c in centers):
-                break
-        centers.append(t)
-        sp, sn, T = synthetic.plant_model(rng, verts[vis], nrm[vis], sp, sn,
-                                          translation=t)
-        truths[name] = (T, occl)
+        views[name] = (verts[vis], nrm[vis],
+                       100.0 * (1.0 - float(vis.mean())))
 
-    # Planar clutter fills the fixed budget (static shapes across scenes).
-    n_clutter = N_TOTAL - len(sp)
+    # Planar clutter fills the fixed budget; it must exist BEFORE planting
+    # (plant_model centers poses on the current scene centroid).
+    n_clutter = N_TOTAL - sum(len(v[0]) for v in views.values())
     per = n_clutter // 6
     parts_p, parts_n = [], []
     for b in range(6):
         cnt = per if b < 5 else n_clutter - 5 * per
-        u = rng.uniform(-1.3, 1.3, size=(cnt, 2)) * scale
+        u = rng.uniform(-0.8, 0.8, size=(cnt, 2)) * scale
         z = rng.normal(scale=0.004 * scale, size=(cnt, 1))
         pts = np.concatenate([u, z], axis=1)
         q = synthetic.random_rotation_quat(rng)
         R = synthetic.quat_to_matrix(q)
-        off = rng.uniform(-1.8, 1.8, size=3) * scale
+        off = rng.uniform(-1.0, 1.0, size=3) * scale
         parts_p.append((pts @ R.T + off).astype(np.float32))
         parts_n.append(np.tile(R[:, 2].astype(np.float32), (cnt, 1)))
-    sp = np.concatenate([sp] + parts_p)
-    sn = np.concatenate([sn] + parts_n)
+    sp = np.concatenate(parts_p).astype(np.float32)
+    sn = np.concatenate(parts_n).astype(np.float32)
+
+    truths = {}
+    centers = []
+    diams = {n: analyze_uwa.MODEL_DIAMS[n] for n in views}
+    placed = []
+    for name, (vp_, vn_, occl) in views.items():
+        # Non-overlapping placement: pairwise gap > 1.05·mean diameters.
+        while True:
+            t = rng.uniform(-1.1, 1.1, size=3).astype(np.float32) * scale
+            if all(np.linalg.norm(t - c) >
+                   0.55 * (diams[name] + diams[o]) * 1.05
+                   for c, o in zip(centers, placed)):
+                break
+        centers.append(t)
+        placed.append(name)
+        sp, sn, T = synthetic.plant_model(rng, vp_, vn_, sp, sn,
+                                          translation=t)
+        truths[name] = (T, occl)
     return sp.astype(np.float32), sn.astype(np.float32), truths
 
 
@@ -186,7 +198,7 @@ def main(argv=None) -> int:
                 "--tau_d", ",".join(["0.1"] * len(names)),
                 "--scene_leaf_size", str(scene_leaf),
                 "--scene_capacity", str(capacity),
-                "--ref_point_df", "2",
+                "--ref_point_df", "3",
                 "--icp_iterations", "12",
                 "--icp_max_dist_factor", "1.0",
                 "--validation_files", ",".join(tpaths),
