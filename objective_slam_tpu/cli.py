@@ -72,6 +72,13 @@ def configure_options(argv=None) -> argparse.Namespace:
                    default=False)
     p.add_argument("--visualize_out", type=str, default="alignment_vis",
                    help="basename for exported visualization files")
+    p.add_argument("--visualize_html", type=lambda s: s.lower() == "true",
+                   default=True,
+                   help="with --visualize, also write an INTERACTIVE "
+                        "self-contained WebGL viewer (<out>.html): orbit/"
+                        "pan/zoom, per-cloud toggles, normals overlay — "
+                        "the display-server-free equivalent of the "
+                        "PCLVisualizer window (alignment.cpp:337-396)")
     # rebuild extensions
     p.add_argument("--estimate_normals_k", type=int, default=0,
                    help="if >0, (re-)estimate normals with k-NN PCA when "
@@ -305,6 +312,24 @@ def _export_visualization(args, scenes, models, poses) -> None:
         rec["c"] = cols
         f.write(rec.tobytes())
     log.info("visualization written: %s", out_ply)
+    if getattr(args, "visualize_html", False):
+        from objective_slam_tpu.utils import html_viewer
+        clouds = [{"points": sp, "normals": sn, "name": f"scene{i}"}
+                  for i, (sp, sn) in enumerate(scenes)]
+        ci = 0
+        for i in range(len(scenes)):
+            for j, (mp, mn) in enumerate(models):
+                T = poses[i][j]
+                clouds.append({
+                    "points": (mp @ T[:3, :3].T + T[:3, 3]).astype(
+                        np.float32),
+                    "normals": (mn @ T[:3, :3].T).astype(np.float32),
+                    "color": html_viewer.default_color(ci),
+                    "name": f"model{j}@scene{i}"})
+                ci += 1
+        html_viewer.write_html_viewer(args.visualize_out + ".html", clouds,
+                                      title="alignment result")
+        log.info("visualization written: %s.html", args.visualize_out)
     try:
         import matplotlib
         matplotlib.use("Agg")

@@ -83,6 +83,9 @@ def test_cli_visualize_export(scene_fixture, tmp_path, capsys):
     out_ply = ply.read_ply(str(vis) + ".ply")
     assert out_ply.points.shape[0] > 0
     assert {"red", "green", "blue"} <= set(out_ply.extra)
+    # Interactive WebGL viewer (default-on): embeds scene + posed model.
+    html = (vis.parent / (vis.name + ".html")).read_text()
+    assert "model0@scene0" in html and "getContext" in html
 
 
 def test_cli_missing_normals_estimation(tmp_path, rng, capsys):

@@ -275,3 +275,46 @@ def test_debug_dump_roundtrip(tmp_path, rng):
     debug_dump.dump_array(tmp_path / "i.bin", jnp.asarray(ints))
     np.testing.assert_array_equal(
         debug_dump.load_array(tmp_path / "i.bin", np.int32), ints)
+
+
+def test_html_viewer_roundtrip(tmp_path, rng):
+    """The interactive WebGL viewer export embeds the exact point data
+    (base64 f32) with consistent metadata, subsamples normals at the
+    declared stride, and leaves no unexpanded template placeholders."""
+    import base64
+    import json
+    import re
+
+    from objective_slam_tpu.utils import html_viewer
+
+    p1 = rng.normal(size=(50, 3)).astype(np.float32)
+    n1 = rng.normal(size=(50, 3)).astype(np.float32)
+    n1 /= np.linalg.norm(n1, axis=1, keepdims=True)
+    p2 = rng.normal(size=(33, 3)).astype(np.float32)
+    path = tmp_path / "view.html"
+    html_viewer.write_html_viewer(
+        path,
+        [{"points": p1, "normals": n1, "name": "scene"},
+         {"points": p2, "color": (10, 20, 30), "name": "model"}],
+        normal_stride=7)
+    text = path.read_text()
+    assert "__TITLE__" not in text and "__META__" not in text
+    metas = json.loads(re.search(r"const META = (\[.*?\]);", text).group(1))
+    blobs = json.loads(re.search(r"const BLOBS = (\[.*?\]);",
+                                 text).group(1))
+    assert [m["name"] for m in metas] == ["scene", "model"]
+    assert metas[1]["color"] == [10, 20, 30]
+    got1 = np.frombuffer(base64.b64decode(blobs[metas[0]["points"]]),
+                         np.float32).reshape(-1, 3)
+    np.testing.assert_array_equal(got1, p1)
+    gotn = np.frombuffer(base64.b64decode(blobs[metas[0]["normals"]]),
+                         np.float32).reshape(-1, 3)
+    np.testing.assert_array_equal(gotn, n1[::7])
+    got2 = np.frombuffer(base64.b64decode(blobs[metas[1]["points"]]),
+                         np.float32).reshape(-1, 3)
+    np.testing.assert_array_equal(got2, p2)
+    assert "normals" not in metas[1]
+    # Script structure sane: balanced script tags, WebGL entry points.
+    assert text.count("<script>") == text.count("</script>") == 1
+    for token in ("getContext(\"webgl\"", "drawArrays", "__viewer_ready"):
+        assert token in text, token

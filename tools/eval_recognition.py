@@ -93,6 +93,12 @@ def main():
     ap.add_argument("--seeds", type=int, default=50)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", type=str, default="eval_results.json")
+    ap.add_argument("--noises", type=str, default=None,
+                    help="CSV noise levels (in units of leaf) — focused "
+                         "re-runs of specific grid rows; seeds stay "
+                         "identical to the full sweep's")
+    ap.add_argument("--occs", type=str, default=None,
+                    help="CSV occlusion fractions (same purpose)")
     args = ap.parse_args()
 
     import jax
@@ -114,6 +120,10 @@ def main():
         noises = [0.0, 0.25, 0.5]
         occs = [0.0, 0.3, 0.5]
         vox_capacity = 2048
+    if args.noises is not None:
+        noises = [float(x) for x in args.noises.split(",")]
+    if args.occs is not None:
+        occs = [float(x) for x in args.occs.split(",")]
 
     rng0 = np.random.default_rng(12345)
     mp_raw, mn_raw = synthetic.blob_cloud(rng0, n_model_raw)

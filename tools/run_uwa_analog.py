@@ -85,6 +85,17 @@ def build_scene(rng, models, normals):
         d /= np.linalg.norm(d)
         vp = d * 4.0 * analyze_uwa.MODEL_DIAMS[name]
         vis = synthetic.partial_view(verts, nrm, vp)
+        # Self-occlusion from a convex-ish view hovers at 55-60 %; an extra
+        # half-space cut (other objects/frustum edges in the real scans)
+        # spreads the grid to ~55-85 % so the error-vs-occlusion curve has
+        # support across bins, like the UWA study's range.
+        extra = rng.uniform(0.0, 0.55)
+        if extra > 0.02:
+            cut_d = rng.normal(size=3)
+            cut_d /= np.linalg.norm(cut_d)
+            proj = (verts - verts.mean(axis=0)) @ cut_d
+            lim = np.quantile(proj[vis], 1.0 - extra)
+            vis = vis & (proj <= lim)
         views[name] = (verts[vis], nrm[vis],
                        100.0 * (1.0 - float(vis.mean())))
 
@@ -198,7 +209,7 @@ def main(argv=None) -> int:
                 "--tau_d", ",".join(["0.1"] * len(names)),
                 "--scene_leaf_size", str(scene_leaf),
                 "--scene_capacity", str(capacity),
-                "--ref_point_df", "3",
+                "--ref_point_df", "1",
                 "--icp_iterations", "12",
                 "--icp_max_dist_factor", "1.0",
                 "--validation_files", ",".join(tpaths),
