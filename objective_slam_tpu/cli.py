@@ -108,6 +108,12 @@ def configure_options(argv=None) -> argparse.Namespace:
                    help="ICP correspondence rejection radius as a multiple "
                         "of d_dist; tighten (e.g. 1.0) for partial views "
                         "so occluded model points don't latch onto clutter")
+    p.add_argument("--icp_point_to_plane",
+                   type=lambda s: s.lower() == "true", default=False,
+                   help="point-to-plane ICP error metric (needs scene "
+                        "normals). Point-to-point slides on near-planar "
+                        "geometry (thin blades, slabs); point-to-plane "
+                        "locks it (e.g. scapula: 10.6 -> 2.4 mm)")
     p.add_argument("--scene_capacity", type=int, default=0,
                    help="if >0, voxel-downsample scenes ON DEVICE to this "
                         "static padded capacity (pad rows are unmatchable "
@@ -230,7 +236,8 @@ def _run(args) -> int:
         cluster_center_cell=args.cluster_center_cell,
         refine_icp=args.icp_iterations > 0,
         icp_iterations=max(args.icp_iterations, 1),
-        icp_max_dist_factor=args.icp_max_dist_factor)
+        icp_max_dist_factor=args.icp_max_dist_factor,
+        icp_point_to_plane=args.icp_point_to_plane)
 
     # ICP (if enabled) refines against the PRE-downsample scans — the
     # voxelized cloud's spacing would floor the achievable accuracy.

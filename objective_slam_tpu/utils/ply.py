@@ -191,3 +191,43 @@ def write_ply(path, points, normals=None, binary: bool = True,
                 for face in faces:
                     f.write((f"3 {face[0]} {face[1]} {face[2]}\n")
                             .encode("ascii"))
+
+
+def read_stl(path, weld_decimals: int = 5):
+    """Binary STL triangle-soup reader with vertex welding.
+
+    STL repeats every vertex once per incident triangle with no
+    connectivity, so the soup is welded back into an indexed mesh by
+    exact-match on coordinates rounded to `weld_decimals` — the format the
+    rest of the pipeline (`pointcloud.mesh_vertex_normals`,
+    `synthetic.partial_view`) consumes. The reference ingests only PLY
+    (pcl::io::loadPLYFile, alignment.cpp:212); STL support is a rebuild
+    extension so real scanned meshes (e.g. the laser-scanned skeleton
+    assets bundled with dm_control) can drive the UWA-analog evaluation.
+
+    Returns (vertices (n, 3) float32, faces (m, 3) int32).
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    if len(raw) < 84:
+        raise ValueError(f"{path}: not a binary STL (too short)")
+    n_tri = struct.unpack("<I", raw[80:84])[0]
+    if len(raw) != 84 + 50 * n_tri:
+        raise ValueError(f"{path}: size mismatch — ascii STL or corrupt "
+                         f"({len(raw)} bytes, {n_tri} triangles declared)")
+    rec = np.frombuffer(raw, dtype=[("nrm", "<f4", (3,)),
+                                    ("v", "<f4", (3, 3)),
+                                    ("attr", "<u2")], count=n_tri, offset=84)
+    soup = np.ascontiguousarray(rec["v"].reshape(-1, 3))        # (3m, 3)
+    key = np.round(soup.astype(np.float64), weld_decimals)
+    _, first, inv = np.unique(key.view([("x", "f8"), ("y", "f8"),
+                                        ("z", "f8")]).reshape(-1),
+                              return_index=True, return_inverse=True)
+    verts = soup[first]
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    # Drop degenerate triangles the welding collapsed.
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+          & (faces[:, 0] != faces[:, 2]))
+    return verts.astype(np.float32), faces[ok]

@@ -129,6 +129,18 @@ def test_cli_icp_refinement(scene_fixture, capsys):
     assert out.strip() == "1"
 
 
+def test_cli_icp_point_to_plane(scene_fixture, capsys):
+    model, scene, truth = scene_fixture
+    rc, out = _run([
+        "--scene_files", str(scene), "--model_files", str(model),
+        "--tau_d", "0.1", "--scene_leaf_size", "0.05",
+        "--icp_iterations", "10", "--icp_point_to_plane", "true",
+        "--validation_files", str(truth),
+    ], capsys)
+    assert rc == 0
+    assert out.strip() == "1"
+
+
 def test_cli_reference_engine(scene_fixture, capsys):
     model, scene, truth = scene_fixture
     rc, out = _run([

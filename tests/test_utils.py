@@ -1,9 +1,11 @@
 """Tests for PLY I/O, voxel grid, normals, synthetic generation, validation."""
 
 import math
+from pathlib import Path
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from objective_slam_tpu.utils import ply, pointcloud as pc, synthetic, validation
 
@@ -318,3 +320,68 @@ def test_html_viewer_roundtrip(tmp_path, rng):
     assert text.count("<script>") == text.count("</script>") == 1
     for token in ("getContext(\"webgl\"", "drawArrays", "__viewer_ready"):
         assert token in text, token
+
+
+def test_read_stl_welds_triangle_soup(tmp_path):
+    """A binary STL written as a triangle soup (every vertex repeated per
+    incident face) is welded back to an indexed mesh: unique vertices,
+    consistent faces, degenerate triangles dropped."""
+    import struct
+
+    from objective_slam_tpu.utils import ply
+
+    # A tetrahedron: 4 verts, 4 faces -> 12 soup vertices.
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    f = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int32)
+    path = tmp_path / "tet.stl"
+    with open(path, "wb") as fh:
+        fh.write(b"\0" * 80)
+        fh.write(struct.pack("<I", len(f) + 1))
+        for tri in f:
+            fh.write(np.zeros(3, "<f4").tobytes())
+            for i in tri:
+                fh.write(v[i].astype("<f4").tobytes())
+            fh.write(struct.pack("<H", 0))
+        # One degenerate sliver (two identical corners) -> must be dropped.
+        fh.write(np.zeros(3, "<f4").tobytes())
+        for i in (0, 0, 1):
+            fh.write(v[i].astype("<f4").tobytes())
+        fh.write(struct.pack("<H", 0))
+
+    verts, faces = ply.read_stl(path)
+    assert verts.shape == (4, 3)
+    assert faces.shape == (4, 3)
+    # Same geometry: every original vertex present, faces reference the
+    # welded indices consistently (compare face vertex SETS geometrically).
+    got = {frozenset(map(tuple, verts[face])) for face in faces}
+    want = {frozenset(map(tuple, v[face])) for face in f}
+    assert got == want
+    # Truncated file raises, not garbage.
+    (tmp_path / "bad.stl").write_bytes(b"\0" * 83)
+    with pytest.raises(ValueError):
+        ply.read_stl(tmp_path / "bad.stl")
+
+
+def test_real_mesh_models_load():
+    """The real scanned-mesh models (dm_control skeleton assets) load, weld
+    and scale to the registered UWA diameters (skipped on images without
+    dm_control)."""
+    import os
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import run_uwa_analog as rua
+
+    if not os.path.isdir(rua.REAL_MESH_DIR):
+        pytest.skip("dm_control assets not present")
+    from objective_slam_tpu.utils import pointcloud as pc
+    import analyze_uwa
+
+    models = rua.build_models_real()
+    assert set(models) == {"skull", "pelvis", "humerus", "scapula"}
+    for name, (v, f) in models.items():
+        assert len(v) > 500 and len(f) > 1000
+        np.testing.assert_allclose(pc.bbox_diameter(v),
+                                   analyze_uwa.MODEL_DIAMS[name], rtol=1e-5)
+        n = pc.mesh_vertex_normals(v, f)
+        assert np.isfinite(n).all()
