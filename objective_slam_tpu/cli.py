@@ -87,6 +87,12 @@ def configure_options(argv=None) -> argparse.Namespace:
     p.add_argument("--engine", type=str, default="fast",
                    choices=["fast", "reference", "correlation"],
                    help="voting engine (see PPFConfig.engine)")
+    p.add_argument("--runs_cap", type=int, default=0,
+                   help="correlation engine only: starting unique-cell "
+                        "compaction capacity (0 = auto heuristic + "
+                        "overflow retry). Set above the known cell count "
+                        "when batching same-shaped scenes to avoid one "
+                        "retry recompile per match")
     p.add_argument("--use_fnv_keys", type=lambda s: s.lower() == "true",
                    default=False,
                    help="match through bit-exact FNV-1a feature hashes "
@@ -114,6 +120,16 @@ def configure_options(argv=None) -> argparse.Namespace:
                         "normals). Point-to-point slides on near-planar "
                         "geometry (thin blades, slabs); point-to-plane "
                         "locks it (e.g. scapula: 10.6 -> 2.4 mm)")
+    p.add_argument("--normal_aware_downsample",
+                   type=lambda s: s.lower() == "true", default=False,
+                   help="voxel-downsample with normal-octant-extended cell "
+                        "keys (scene AND model). pcl::VoxelGrid centroid "
+                        "semantics (default) collapse geometry thinner "
+                        "than the leaf — both sides of a blade/shell land "
+                        "in one cell and the averaged normal cancels; "
+                        "octant keys keep one point per side. Required "
+                        "for thin real scans (bones); no-op for solid "
+                        "chunky models")
     p.add_argument("--scene_capacity", type=int, default=0,
                    help="if >0, voxel-downsample scenes ON DEVICE to this "
                         "static padded capacity (pad rows are unmatchable "
@@ -201,7 +217,9 @@ def _run(args) -> int:
         log.info("Scene size before filtering: %d", len(sp))
         if args.scene_capacity > 0:
             vox = pc.voxel_downsample(sp, sn, args.scene_leaf_size,
-                                      capacity=args.scene_capacity)
+                                      capacity=args.scene_capacity,
+                                      normal_aware=args.
+                                      normal_aware_downsample)
             if bool(vox.dropped):
                 log.error("scene exceeds --scene_capacity %d; raise it",
                           args.scene_capacity)
@@ -211,13 +229,16 @@ def _run(args) -> int:
             log.info("Scene size after filtering: %d (padded to %d)",
                      int(vox.num_voxels), args.scene_capacity)
         else:
-            sp2, sn2 = pc.voxel_downsample_np(sp, sn, args.scene_leaf_size)
+            sp2, sn2 = pc.voxel_downsample_np(
+                sp, sn, args.scene_leaf_size,
+                normal_aware=args.normal_aware_downsample)
             log.info("Scene size after filtering: %d", len(sp2))
         ds_scenes.append((sp2, sn2))
     ds_models = []
     for (mp, mn), dd in zip(model_clouds, model_d_dists):
         log.info("Model size before filtering: %d", len(mp))
-        mp2, mn2 = pc.voxel_downsample_np(mp, mn, dd)
+        mp2, mn2 = pc.voxel_downsample_np(
+            mp, mn, dd, normal_aware=args.normal_aware_downsample)
         log.info("Model size after filtering: %d", len(mp2))
         ds_models.append((mp2, mn2))
 
@@ -243,7 +264,8 @@ def _run(args) -> int:
     # voxelized cloud's spacing would floor the achievable accuracy.
     out = ppf_registration(ds_scenes, ds_models, model_d_dists, cfg,
                            cpu_clustering=args.cpu_clustering,
-                           icp_clouds=scene_clouds)
+                           icp_clouds=scene_clouds,
+                           runs_cap=args.runs_cap or None)
 
     if args.validation_files:
         for i in range(len(ds_scenes)):

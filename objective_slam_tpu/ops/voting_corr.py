@@ -40,9 +40,18 @@ from objective_slam_tpu.ops import voting_fast as vf
 ALPHA_BITS = vf.ALPHA_BITS
 _ALPHA_SCALE = vf._ALPHA_SCALE
 
+# Dictionary width at which the key->rank one-hot matmul (HBM traffic
+# scales with S·K_pad) loses to a dense-LUT gather (~20 ns/element flat).
+_DICT_MATMUL_MAX_K = 2048
+
+# Largest flat (row·K1·n_angle + col) cell id representable in int32; past
+# this the run compaction sorts (row, col) lexicographically instead.
+# Module-level so tests can force the two-key branch at toy scale.
+_FLAT_ID_MAX = 2**31
+
 
 @functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["occ_keys", "m3_dup"],
+                   data_fields=["occ_keys", "m3_dup", "dense_rank"],
                    meta_fields=["k_occ", "n_angle"])
 @dataclasses.dataclass(frozen=True)
 class CorrTables:
@@ -57,9 +66,17 @@ class CorrTables:
     m3_dup   — (k_occ+1, 2·n_angle, n_m) f32: per-key α_m histogram over
                model points, duplicated along the α axis so every shift is
                a contiguous slice.
+    dense_rank — (key_space,) int32 key → occupied rank (k_occ where
+               unoccupied). The one-hot contraction writes S·K_pad one-hot
+               bytes through HBM, so its cost scales with the DICTIONARY
+               size: past ~2k occupied keys (big real-scan models) a plain
+               gather through this dense table is cheaper than the matmul
+               (the key space is bounded: packed bins, or occupied-hash
+               ranks in FNV mode — never the raw 2^32 hash space).
     """
     occ_keys: jax.Array
     m3_dup: jax.Array
+    dense_rank: jax.Array
     k_occ: int
     n_angle: int
 
@@ -77,6 +94,8 @@ def build_corr_tables(table: voting_ref.KeyTable, n_model: int,
     k_pad = max(((k_occ + 127) // 128) * 128, 128)
     occ_dict = np.full((k_pad,), -2, np.int32)
     occ_dict[:k_occ] = occ_keys.astype(np.int32)
+    dense_rank = np.full((len(counts),), k_occ, np.int32)
+    dense_rank[occ_keys] = np.arange(k_occ, dtype=np.int32)
 
     # Coarse α_m bins via the same fixed-point quantization as the fast
     # engine (consistency of bin edges between the two sides).
@@ -96,11 +115,13 @@ def build_corr_tables(table: voting_ref.KeyTable, n_model: int,
     return CorrTables(
         occ_keys=jnp.asarray(occ_dict),
         m3_dup=jnp.asarray(m3_dup),
+        dense_rank=jnp.asarray(dense_rank),
         k_occ=k_occ, n_angle=n_angle)
 
 
 def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
-                    n_model: int, runs_cap: int | None = None
+                    n_model: int, runs_cap: int | None = None,
+                    chunk_budget_bytes: int | None = None
                     ) -> voting_ref.VoteResult:
     """Matmul voting: scene histogram + n_angle MXU contractions.
 
@@ -115,6 +136,16 @@ def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
     comfortably above any scene measured; if the actual run count exceeds
     it, `overflowed` is set (tallies would be incomplete — raise the cap).
 
+    Large models (real-scan descriptions: 700+ points, 15k occupied keys)
+    don't fit the dense (R, K1·n_angle) histogram in HBM — with the
+    minor-dim tile padding a skull-sized model wants 35 GB. When the dense
+    histogram exceeds chunk_budget_bytes (None → 2 GiB), the contraction
+    runs CHUNKED over reference rows via lax.scan: the cell-sorted run
+    array means each row-chunk's runs are one contiguous slice (found by
+    searchsorted), scattered into a (Rc, K1·n_angle) block that never
+    leaves the budget. Bench-scale scenes keep the single-chunk graph
+    bit-for-bit.
+
     Returns a VoteResult whose accumulator matches the exact engines up to
     ±1-α-bin transport (num_votes is exact)."""
     R, n = scene_keys.shape
@@ -124,35 +155,45 @@ def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
     flat_alpha = scene_alpha.reshape(-1)
     valid = flat_keys != ppf_ops.INVALID_KEY
 
-    # key -> occupied rank via one-hot dictionary matmul (chunked so the
-    # materialized one-hot stays bounded; INVALID_KEY matches nothing since
-    # pad entries are -2). rank payload is offset by +1 so "no match"
-    # (all-zero row) is distinguishable from rank 0.
     S = R * n
     K_pad = tables.occ_keys.shape[0]
-    chunk = min(32768, vf._ceil_to(S, vf.LANES))
-    S_pad = vf._ceil_to(S, chunk)
-    keys_p = jnp.concatenate(
-        [flat_keys, jnp.full((S_pad - S,), ppf_ops.INVALID_KEY, jnp.int32)])
-    ranks1 = jnp.arange(1, K_pad + 1, dtype=jnp.float32)
+    if K_pad <= _DICT_MATMUL_MAX_K:
+        # key -> occupied rank via one-hot dictionary matmul (chunked so
+        # the materialized one-hot stays bounded; INVALID_KEY matches
+        # nothing since pad entries are -2). rank payload is offset by +1
+        # so "no match" (all-zero row) is distinguishable from rank 0.
+        chunk = min(32768, vf._ceil_to(S, vf.LANES))
+        S_pad = vf._ceil_to(S, chunk)
+        keys_p = jnp.concatenate(
+            [flat_keys,
+             jnp.full((S_pad - S,), ppf_ops.INVALID_KEY, jnp.int32)])
+        ranks1 = jnp.arange(1, K_pad + 1, dtype=jnp.float32)
 
-    def one(kc):
-        onehot = (kc[:, None] == tables.occ_keys[None, :]) \
-            .astype(jnp.float32)
-        return jnp.dot(onehot, ranks1,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        def one(kc):
+            onehot = (kc[:, None] == tables.occ_keys[None, :]) \
+                .astype(jnp.float32)
+            return jnp.dot(onehot, ranks1,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
-    occ = jax.lax.map(one, keys_p.reshape(-1, chunk)).reshape(-1)[:S]
-    occ = occ.astype(jnp.int32) - 1
-    occ = jnp.where(occ >= 0, occ, tables.k_occ)
+        occ = jax.lax.map(one, keys_p.reshape(-1, chunk)).reshape(-1)[:S]
+        occ = occ.astype(jnp.int32) - 1
+        occ = jnp.where(occ >= 0, occ, tables.k_occ)
+    else:
+        # Big dictionary: the one-hot writes S·K_pad bytes through HBM
+        # (1.3 TB for a skull-sized model) — a dense-LUT gather is the
+        # ~20 ns/element floor instead, and S gathers beat the matmul as
+        # soon as the dictionary outgrows VMEM-friendly widths.
+        key_space = tables.dense_rank.shape[0]
+        safe = jnp.clip(flat_keys, 0, key_space - 1)
+        occ = jnp.where(valid, tables.dense_rank[safe],
+                        jnp.int32(tables.k_occ))
 
     a_fix = jnp.clip(jnp.round((flat_alpha + jnp.float32(math.pi))
                                * jnp.float32(_ALPHA_SCALE))
                      .astype(jnp.int32), 0, (1 << ALPHA_BITS) - 1)
     b_s = (a_fix * n_angle) >> ALPHA_BITS
 
-    n_cells = R * K1 * n_angle
     if runs_cap is None:
         # Small scenes: cap = S (exact by construction, compaction is
         # cheap there). Large scenes: S // 6 — votes concentrate on far
@@ -163,10 +204,26 @@ def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
     runs_cap = min(vf._ceil_to(runs_cap, vf.LANES), S)
 
     r_of_s = jnp.arange(S, dtype=jnp.int32) // n
-    tgt = (r_of_s * K1 + occ) * n_angle + b_s
-    tgt = jnp.where(valid, tgt, n_cells)              # invalid → sentinel
-    sv = jnp.sort(tgt)                                # (S,) sentinel at end
-    new = jnp.concatenate([jnp.ones((1,), jnp.bool_), sv[1:] != sv[:-1]])
+    cells_per_row = K1 * n_angle
+    n_cells_l = R * cells_per_row                     # python int (exact)
+    if n_cells_l < _FLAT_ID_MAX:
+        # Flat cell ids fit int32: one-key sort (the bench-scale graph).
+        tgt = (r_of_s * K1 + occ) * n_angle + b_s
+        tgt = jnp.where(valid, tgt, jnp.int32(n_cells_l))  # invalid last
+        sv = jnp.sort(tgt)                            # (S,) sentinel at end
+        new = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                               sv[1:] != sv[:-1]])
+    else:
+        # Big scenes × big models overflow the packed id — sort (row, col)
+        # LEXICOGRAPHICALLY instead (two int32 keys; the flat 33-bit id
+        # never exists). col < K1·n_angle and row ≤ R stay int32-safe.
+        col0 = occ * n_angle + b_s
+        rr = jnp.where(valid, r_of_s, jnp.int32(R))   # invalid rows last
+        cc = jnp.where(valid, col0, 0)
+        srow, scol = jax.lax.sort((rr, cc), num_keys=2)
+        new = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                               (srow[1:] != srow[:-1])
+                               | (scol[1:] != scol[:-1])])
     n_runs = jnp.sum(new, dtype=jnp.int32)
     # Compact run-start positions in order: sort where(new, iota, INT_MAX)
     # — iota is strictly increasing, so a single-array sort is the stable
@@ -179,47 +236,142 @@ def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
     # pin them to S so the next-start difference of the LAST real run (and
     # of every dead row) is well-defined.
     starts = jnp.where(run_ok, starts, S)
-    vals_u = sv[jnp.minimum(starts, S - 1)]           # (runs_cap,) cell ids
+    si = jnp.minimum(starts, S - 1)
+    # Per-run (row, col) pair — the id form every downstream consumer
+    # uses (the flat id only exists in the int32-safe branch).
+    if n_cells_l < _FLAT_ID_MAX:
+        vals_u = sv[si]                               # (runs_cap,) cell ids
+        cell_ok0 = vals_u < n_cells_l
+        row_u = vals_u // cells_per_row
+        col_u = vals_u % cells_per_row
+    else:
+        row_u = srow[si]
+        col_u = scol[si]
+        cell_ok0 = row_u < R
     next_start = jnp.concatenate([starts[1:], jnp.full((1,), S, jnp.int32)])
     cnts = jnp.where(run_ok, next_start - starts, 0)
-    cell_ok = run_ok & (vals_u < n_cells)             # drop sentinel run
-    s3 = jnp.zeros((n_cells,), jnp.float32) \
-        .at[jnp.where(cell_ok, vals_u, n_cells)] \
-        .add(jnp.where(cell_ok, cnts, 0).astype(jnp.float32),
-             mode="drop") \
-        .reshape(R, K1, n_angle)
+    cell_ok = run_ok & cell_ok0                       # drop sentinel run
     runs_overflow = n_runs > runs_cap
     # Unoccupied keys (rank k_occ) hit the all-zero m3 row; drop them from
     # the vote count only (they contribute nothing to the contraction).
-    s3_flat = s3.reshape(R, K1 * n_angle)
-
-    # num_votes (exact, integer — f32 cannot represent counts > 2^24):
-    # Σ_k scene-hits[k] · bucket-size[k]. Per-cell products and per-row
-    # sums are int32-exact (a single reference row with ≥ 2^31 votes is
-    # not a realistic cloud); the GRAND total is summed as two int32
-    # limbs and SATURATES to INT32_MAX instead of silently wrapping when
-    # a vote-heavy scene passes 2^31 (this engine sizes no capacity from
-    # it — the saturated sentinel is unmistakable where a wrapped value
-    # would read as a plausible count).
     m_tot = jnp.sum(tables.m3_dup[:, :n_angle, :], axis=(1, 2)) \
         .astype(jnp.int32)                                        # (K1,)
-    s_tot = jnp.sum(s3, axis=2).astype(jnp.int32)                 # (R, K1)
-    row_votes = jnp.sum(s_tot * m_tot[None, :], axis=1,
-                        dtype=jnp.int32)                          # (R,)
-    num_votes = voting_ref.saturating_total(row_votes)
-
-    # acc[r, m, a] = S3_flat @ m3_dup[:, o_a : o_a+n, :]  with
-    # o_a = (n/2 - a) mod n  (coarse-bin identity: a ≈ b_s − b_m + n/2).
     half = n_angle // 2
-    cols = []
-    for a in range(n_angle):
-        o_a = (half - a) % n_angle
-        rhs = jax.lax.dynamic_slice_in_dim(tables.m3_dup, o_a, n_angle,
-                                           axis=1)
-        rhs = rhs.reshape(K1 * n_angle, n_model)
-        cols.append(jnp.dot(s3_flat, rhs,
-                            preferred_element_type=jnp.float32))  # (R, n_m)
-    acc = jnp.stack(cols, axis=-1)                                # (R,n_m,n)
+    if chunk_budget_bytes is None:
+        chunk_budget_bytes = 2 << 30
+    Rc = max(8, min(R, chunk_budget_bytes // (cells_per_row * 4)))
+    if n_cells_l >= _FLAT_ID_MAX:
+        # Keep every per-chunk flat index int32-safe regardless of budget
+        # (and stay off the single-chunk path, which assumes flat ids).
+        Rc = max(1, min(Rc, (_FLAT_ID_MAX - 1) // cells_per_row))
+
+    if Rc >= R and n_cells_l < _FLAT_ID_MAX:
+        # Single chunk: the dense histogram fits — one scatter, n_angle
+        # matmuls (the bench-scale graph). Only reachable from the
+        # int32-id branch (budget caps n_cells at 2^29 floats).
+        s3 = jnp.zeros((n_cells_l,), jnp.float32) \
+            .at[jnp.where(cell_ok, vals_u, n_cells_l)] \
+            .add(jnp.where(cell_ok, cnts, 0).astype(jnp.float32),
+                 mode="drop") \
+            .reshape(R, K1, n_angle)
+        s3_flat = s3.reshape(R, K1 * n_angle)
+
+        # num_votes (exact, integer — f32 cannot represent counts > 2^24):
+        # Σ_k scene-hits[k] · bucket-size[k]. Per-cell products and
+        # per-row sums are int32-exact (a single reference row with ≥ 2^31
+        # votes is not a realistic cloud); the GRAND total is summed as
+        # two int32 limbs and SATURATES to INT32_MAX instead of silently
+        # wrapping when a vote-heavy scene passes 2^31 (this engine sizes
+        # no capacity from it — the saturated sentinel is unmistakable
+        # where a wrapped value would read as a plausible count).
+        s_tot = jnp.sum(s3, axis=2).astype(jnp.int32)             # (R, K1)
+        row_votes = jnp.sum(s_tot * m_tot[None, :], axis=1,
+                            dtype=jnp.int32)                      # (R,)
+        num_votes = voting_ref.saturating_total(row_votes)
+
+        # acc[r, m, a] = S3_flat @ m3_dup[:, o_a : o_a+n, :]  with
+        # o_a = (n/2 - a) mod n (coarse-bin identity: a ≈ b_s − b_m + n/2).
+        cols = []
+        for a in range(n_angle):
+            o_a = (half - a) % n_angle
+            rhs = jax.lax.dynamic_slice_in_dim(tables.m3_dup, o_a, n_angle,
+                                               axis=1)
+            rhs = rhs.reshape(K1 * n_angle, n_model)
+            cols.append(jnp.dot(s3_flat, rhs,
+                                preferred_element_type=jnp.float32))
+        acc = jnp.stack(cols, axis=-1)                            # (R,n_m,n)
+    else:
+        # Chunked over reference rows. Runs are cell-sorted, so each row
+        # chunk's runs form one contiguous slice; per-chunk budget B keeps
+        # the gather static (4x uniform-share skew headroom — exceeding it
+        # sets `overflowed`, and the caller's capacity retry raises
+        # runs_cap and with it B).
+        chunks = -(-R // Rc)
+        B = min(runs_cap,
+                vf._ceil_to(max(65536, 4 * runs_cap // chunks), vf.LANES))
+        # All rebasing is row-relative (flat cell ids may exceed int32).
+        # Dead/sentinel runs get row chunks·Rc — past the END boundary, so
+        # they land in no chunk's searchsorted slice (row R would fall
+        # inside the last chunk and inflate its run count).
+        rw = jnp.where(cell_ok, row_u, jnp.int32(chunks * Rc))
+        cw = jnp.where(cell_ok, col_u, 0)
+        cnt_ok = jnp.where(cell_ok, cnts, 0)
+        lo_rows = jnp.arange(chunks + 1, dtype=jnp.int32) * Rc
+        bounds = jnp.searchsorted(rw, lo_rows, side="left") \
+            .astype(jnp.int32)                                # (chunks+1,)
+        chunk_runs = bounds[1:] - bounds[:-1]
+        runs_overflow = runs_overflow | jnp.any(chunk_runs > B)
+
+        # num_votes from a (R·K1) scatter (the dense s3 never exists).
+        rk = jnp.where(cell_ok, row_u * K1 + cw // n_angle, R * K1)
+        s_tot = jnp.zeros((R * K1,), jnp.int32) \
+            .at[rk].add(cnt_ok, mode="drop").reshape(R, K1)
+        row_votes = jnp.sum(s_tot * m_tot[None, :], axis=1,
+                            dtype=jnp.int32)
+        num_votes = voting_ref.saturating_total(row_votes)
+
+        m3d = tables.m3_dup
+        chunk_cells = Rc * cells_per_row
+
+        # Layout discipline (the whole reason this path exists): any array
+        # whose MINOR dim is n_angle tile-pads 30 -> 128 (4.27x HBM), and
+        # a reshape that merges tiled dims ((K1,30,m) -> (K1*30,m))
+        # MATERIALIZES a copy per α slice — 30 x 697 MB live at once for a
+        # skull-sized model. So the chunk histogram lives as (K1, 30, Rc)
+        # (row-minor), the model table is sliced but never reshaped, and
+        # the contraction is a dot_general over the (key, α_m) dim PAIR.
+        # The inner lax.map serializes the 30 slices: one alive at a time.
+        def body(_, c):
+            lo_row = c * Rc
+            start = bounds[c]
+            pos = jnp.arange(B, dtype=jnp.int32)
+            idx = jnp.clip(start + pos, 0, runs_cap - 1)
+            rr = rw[idx]
+            ok = (pos < (bounds[c + 1] - start)) & (rr >= lo_row) \
+                & (rr < lo_row + Rc)
+            reb = cw[idx] * Rc + (rr - lo_row)
+            s3c = jnp.zeros((chunk_cells,), jnp.float32) \
+                .at[jnp.where(ok, reb, chunk_cells)] \
+                .add(jnp.where(ok, cnt_ok[idx], 0).astype(jnp.float32),
+                     mode="drop") \
+                .reshape(K1, n_angle, Rc)
+
+            def col(a):
+                o_a = (half - a) % n_angle
+                rhs = jax.lax.dynamic_slice_in_dim(m3d, o_a, n_angle,
+                                                   axis=1)
+                return jax.lax.dot_general(
+                    s3c, rhs, (((0, 1), (0, 1)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (Rc, n_m)
+
+            cols = jax.lax.map(col, jnp.arange(n_angle, dtype=jnp.int32))
+            return None, cols                             # (n, Rc, n_m)
+
+        _, acc_chunks = jax.lax.scan(
+            body, None, jnp.arange(chunks, dtype=jnp.int32))
+        acc = jnp.transpose(acc_chunks, (0, 2, 3, 1)) \
+            .reshape(chunks * Rc, n_model, n_angle)[:R]
+
     A = voting_ref.ALPHA_PAD
     acc = jnp.round(acc).astype(jnp.int32)
     acc = jnp.pad(acc, ((0, 0), (0, 0), (0, A - n_angle)))

@@ -41,7 +41,8 @@ def ppf_registration(scene_clouds: Sequence[tuple[np.ndarray, np.ndarray]],
                      config: PPFConfig = PPFConfig(),
                      cpu_clustering: bool = False,
                      icp_clouds: Sequence[tuple[np.ndarray, np.ndarray]]
-                     | None = None) -> RegistrationOutput:
+                     | None = None,
+                     runs_cap: int | None = None) -> RegistrationOutput:
     """Match all models in all scenes.
 
     Args:
@@ -55,6 +56,10 @@ def ppf_registration(scene_clouds: Sequence[tuple[np.ndarray, np.ndarray]],
       icp_clouds: optional per-scene FULL-RESOLUTION (points, normals) for
         ICP refinement (the pre-downsample scans); ignored unless
         config.refine_icp.
+      runs_cap: starting unique-cell compaction capacity for the
+        correlation engine (drost.match runs_cap). Setting it above the
+        known cell count for a batch of same-shaped scenes avoids one
+        overflow-retry recompile per match.
     """
     descriptions = []
     for (mp, mn), d_dist in zip(model_clouds, model_d_dists):
@@ -79,7 +84,8 @@ def ppf_registration(scene_clouds: Sequence[tuple[np.ndarray, np.ndarray]],
                     icp_points=None if icp_clouds is None
                     else icp_clouds[si][0],
                     icp_normals=None if icp_clouds is None
-                    else icp_clouds[si][1])
+                    else icp_clouds[si][1],
+                    runs_cap=runs_cap)
                 T = np.asarray(res.pose)
                 if bool(res.overflowed):
                     log.warning("scene %d model %d: vote buffer overflow",

@@ -65,11 +65,67 @@ def test_voxel_downsample_padding_is_unmatchable(rng):
     assert (pad < -1e6).all()
 
 
+def test_voxel_downsample_normal_aware_keeps_thin_slab_sides(rng):
+    # A slab 0.02 thick inside a 0.5 leaf: plain centroid mode collapses
+    # both faces into one cell whose averaged normal cancels to ~0;
+    # normal-aware octant keys keep one point PER FACE with its true
+    # normal. This is the thin-real-geometry failure (scanned bone blades
+    # and shells lose every match without it).
+    xy = rng.uniform(0, 2, size=(200, 2)).astype(np.float32)
+    top = np.concatenate([xy, np.full((200, 1), 0.26, np.float32)], axis=1)
+    bot = np.concatenate([xy, np.full((200, 1), 0.24, np.float32)], axis=1)
+    pts = np.concatenate([top, bot])
+    nrm = np.concatenate([np.tile([0, 0, 1.0], (200, 1)),
+                          np.tile([0, 0, -1.0], (200, 1))]).astype(np.float32)
+    leaf = 0.5
+
+    # Plain mode: every surviving cell mixes both faces -> normal ~ 0.
+    p0, n0 = pc.voxel_downsample_np(pts, nrm, leaf)
+    assert np.abs(n0[:, 2]).max() < 1e-6
+    # Normal-aware: each face keeps its own voxels with unit ±z normals.
+    p1, n1 = pc.voxel_downsample_np(pts, nrm, leaf, normal_aware=True)
+    assert len(p1) == 2 * len(p0)
+    np.testing.assert_allclose(np.abs(n1[:, 2]), 1.0, atol=1e-6)
+    assert (n1[:, 2] > 0).sum() == len(p0)
+
+    # Device path agrees with the host path (same voxel set + normals).
+    out = pc.voxel_downsample(pts, nrm, leaf, normal_aware=True)
+    nv = int(out.num_voxels)
+    assert nv == len(p1)
+    got_p = np.asarray(out.points)[:nv]
+    got_n = np.asarray(out.normals)[:nv]
+    np.testing.assert_allclose(np.sort(got_p, axis=0), np.sort(p1, axis=0),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.sort(got_n, axis=0), np.sort(n1, axis=0),
+                               atol=1e-5)
+
+
 def test_voxel_capacity_overflow(rng):
     pts = rng.uniform(0, 1, size=(100, 3)).astype(np.float32)
     nrm = np.ones((100, 3), np.float32)
     out = pc.voxel_downsample(pts, nrm, 0.01, capacity=4)
     assert bool(out.dropped)
+
+
+def test_sample_mesh_surface_uniform_on_sphere(rng):
+    # Area-weighted sampling of a (near-)sphere mesh: points at radius ~1,
+    # interpolated normals unit-length and outward, and coverage uniform
+    # enough that every octant receives its ~1/8 share (raw decimated-mesh
+    # vertices concentrate at high-curvature features; the sampler is what
+    # makes real scanned assets behave like range scans).
+    from objective_slam_tpu.utils import synthetic
+    v, f = synthetic.bumpy_mesh(subdiv=3, bumps=0.0)
+    pts, nrm = pc.sample_mesh_surface(v, f, 4000, rng)
+    r = np.linalg.norm(pts, axis=1)
+    np.testing.assert_allclose(r, 1.0, atol=0.02)
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)
+    # Outward orientation: normal aligned with the radial direction.
+    cos = np.sum(nrm * pts / r[:, None], axis=1)
+    assert cos.min() > 0.95
+    octant = ((pts[:, 0] > 0).astype(int) + 2 * (pts[:, 1] > 0)
+              + 4 * (pts[:, 2] > 0))
+    counts = np.bincount(octant, minlength=8)
+    assert counts.min() > 0.6 * 4000 / 8
 
 
 def test_knn_normals_on_plane(rng):
@@ -377,11 +433,16 @@ def test_real_mesh_models_load():
     from objective_slam_tpu.utils import pointcloud as pc
     import analyze_uwa
 
-    models = rua.build_models_real()
+    models, normals = rua.build_models_real(n_samples=2000)
     assert set(models) == {"skull", "pelvis", "humerus", "scapula"}
-    for name, (v, f) in models.items():
-        assert len(v) > 500 and len(f) > 1000
-        np.testing.assert_allclose(pc.bbox_diameter(v),
-                                   analyze_uwa.MODEL_DIAMS[name], rtol=1e-5)
-        n = pc.mesh_vertex_normals(v, f)
+    for name, (pts, _faces) in models.items():
+        assert len(pts) == 2000
+        # Surface samples span the registered diameter (within the sampled
+        # subset's shrinkage) and carry finite unit normals.
+        d = pc.bbox_diameter(pts)
+        assert 0.9 * analyze_uwa.MODEL_DIAMS[name] < d \
+            <= analyze_uwa.MODEL_DIAMS[name] * 1.0001
+        n = normals[name]
         assert np.isfinite(n).all()
+        np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0,
+                                   atol=1e-4)

@@ -309,6 +309,67 @@ def test_correlation_runs_cap_overflow_and_retry(rng):
     assert v.match, (v.trans_err, v.rot_err)
 
 
+def test_correlation_chunked_and_lut_paths_bit_equal(rng):
+    """The row-chunked contraction (big-model path: dense histogram over
+    budget) and the dense-LUT rank path (big-dictionary path) must both
+    be bit-equal to the default single-chunk/dict-matmul graph — they are
+    memory layouts, not approximations."""
+    from objective_slam_tpu.ops import voting_corr
+
+    m_pts, m_nrm = small_cloud(rng, 12)
+    s_pts, s_nrm = small_cloud(rng, 40)
+    cfg = PPFConfig(engine="correlation")
+    desc = drost.build_model_description(m_pts, m_nrm, cfg, d_dist=0.5)
+    ref_idx = jnp.arange(0, 40, dtype=jnp.int32)
+    keys, alpha_s = ppf_ops.pairwise_ppf_keys(
+        s_pts, s_nrm, desc.d_dist, cfg.d_angle, desc.max_dist_bin,
+        ref_indices=ref_idx)
+    base = voting_corr.cast_votes_corr(keys, alpha_s, desc.corr_tables,
+                                       desc.n_points)
+    assert not bool(base.overflowed)
+
+    # Force multi-chunk: a budget far below the dense histogram size
+    # (R=40 rows -> several chunks).
+    K1 = desc.corr_tables.k_occ + 1
+    budget = K1 * cfg.n_angle * 4 * 7          # ~7 rows per chunk
+    chunked = voting_corr.cast_votes_corr(keys, alpha_s, desc.corr_tables,
+                                          desc.n_points,
+                                          chunk_budget_bytes=budget)
+    assert not bool(chunked.overflowed)
+    np.testing.assert_array_equal(np.asarray(chunked.accumulator),
+                                  np.asarray(base.accumulator))
+    assert int(chunked.num_votes) == int(base.num_votes)
+
+    # Force the dense-LUT rank path (K_pad <= 2048 normally picks the
+    # dictionary matmul) by lowering the threshold via monkeypatched
+    # tables: re-run with the LUT by slicing the same tables through a
+    # tiny wrapper — equality of occ ranks implies equality everywhere,
+    # so compare a chunked+LUT run against base.
+    import objective_slam_tpu.ops.voting_corr as vc
+    import unittest.mock as mock
+    with mock.patch.object(vc, "_DICT_MATMUL_MAX_K", 0):
+        lut = voting_corr.cast_votes_corr(keys, alpha_s, desc.corr_tables,
+                                          desc.n_points,
+                                          chunk_budget_bytes=budget)
+    np.testing.assert_array_equal(np.asarray(lut.accumulator),
+                                  np.asarray(base.accumulator))
+    assert int(lut.num_votes) == int(base.num_votes)
+
+    # Force the two-key lexicographic sort branch (flat cell ids past
+    # int32 at production scale — here triggered artificially) combined
+    # with chunking: still bit-equal.
+    with mock.patch.object(vc, "_FLAT_ID_MAX", 1):
+        lex = voting_corr.cast_votes_corr(keys, alpha_s, desc.corr_tables,
+                                          desc.n_points,
+                                          chunk_budget_bytes=budget)
+        lex1 = voting_corr.cast_votes_corr(keys, alpha_s, desc.corr_tables,
+                                           desc.n_points)
+    for r in (lex, lex1):
+        np.testing.assert_array_equal(np.asarray(r.accumulator),
+                                      np.asarray(base.accumulator))
+        assert int(r.num_votes) == int(base.num_votes)
+
+
 def test_fast_engine_unpacked_fallback(rng):
     """The two-lookup fallback tables (large models / big buckets) must
     produce the same accumulator as the packed single-lookup path."""

@@ -99,6 +99,11 @@ def main():
                          "identical to the full sweep's")
     ap.add_argument("--occs", type=str, default=None,
                     help="CSV occlusion fractions (same purpose)")
+    ap.add_argument("--engines", type=str, default=None,
+                    help="CSV engine subset (e.g. 'fast,fast+smooth') for "
+                         "focused re-runs; seeds/scenes stay identical to "
+                         "the full sweep's. The fast-vs-correlation "
+                         "agreement row is only emitted when both run")
     args = ap.parse_args()
 
     import jax
@@ -140,6 +145,8 @@ def main():
     # sigma=0.5 collapse is a normal-quality failure, not a voting one.
     engines = ["fast", "reference", "correlation", "fast+rescore",
                "fast+smooth"]
+    if args.engines is not None:
+        engines = [e for e in engines if e in args.engines.split(",")]
     cfgs = {e: PPFConfig(max_poses=512, ref_point_df=5,
                          engine=e.split("+")[0],
                          rescore_poses=e.endswith("+rescore"))
@@ -206,6 +213,8 @@ def main():
                         "overflowed": bool(res.overflowed),
                     })
                 # winner agreement fast vs correlation
+                if not {"fast", "correlation"} <= set(engines):
+                    continue
                 tdx, rdx = (float(x) for x in tr.ht_dist(
                     poses["fast"], poses["correlation"]))
                 results.append({

@@ -85,16 +85,24 @@ REAL_MESHES = {            # name -> (stl file, target UWA diameter)
 }
 
 
-def build_models_real():
+def build_models_real(n_samples: int = 6000, seed: int = 123):
     """Four real scanned bone meshes at UWA-like diameters. Registers each
     diameter in analyze_uwa.MODEL_DIAMS so the downstream analysis (match
     thresholds, per-model rates) treats them exactly like UWA models.
-    Full-resolution meshes are kept (the CLI's d_dist voxel filter does the
-    decimation; only the z-buffer partial-view cost scales with verts).
-    Returns {name: (verts, faces)}."""
+
+    Each mesh surface is SAMPLED uniformly by area (with interpolated
+    normals) rather than using the raw vertices: these are decimated
+    assets whose vertices cluster at high-curvature features, so the raw
+    vertex cloud voxel-filters down to a skeletal description (humerus:
+    848 verts -> 48 points) and matching collapses. Uniform samples
+    reproduce the coverage of a real range scan.
+
+    Returns ({name: (points, None)}, {name: normals}) — faces are consumed
+    by the sampler and not propagated."""
     from objective_slam_tpu.utils import ply, pointcloud as pc
 
-    out = {}
+    rng = np.random.default_rng(seed)
+    out, normals = {}, {}
     for name, (fname, diam) in REAL_MESHES.items():
         path = Path(REAL_MESH_DIR) / fname
         if not path.exists():
@@ -102,10 +110,12 @@ def build_models_real():
                 f"real mesh assets not found ({path}); run with the default "
                 "--models synthetic on images without dm_control")
         v, f = ply.read_stl(path)
-        scale = diam / pc.bbox_diameter(v)
+        v = (v * (diam / pc.bbox_diameter(v))).astype(np.float32)
+        sp, sn = pc.sample_mesh_surface(v, f, n_samples, rng)
         analyze_uwa.MODEL_DIAMS[name] = diam
-        out[name] = ((v * scale).astype(np.float32), f)
-    return out
+        out[name] = (sp, None)
+        normals[name] = sn
+    return out, normals
 
 
 def build_scene(rng, models, normals):
@@ -201,10 +211,13 @@ def main(argv=None) -> int:
     run_dir = out / "run1"
     run_dir.mkdir(parents=True, exist_ok=True)
 
-    models = build_models_real() if args.models == "real" else build_models()
+    if args.models == "real":
+        models, normals = build_models_real()
+    else:
+        models = build_models()
+        normals = {n: pc.mesh_vertex_normals(v, f)
+                   for n, (v, f) in models.items()}
     names = list(models)
-    normals = {n: pc.mesh_vertex_normals(v, f)
-               for n, (v, f) in models.items()}
     model_paths = []
     for n, (v, f) in models.items():
         p = out / f"{n}_model.ply"
@@ -227,8 +240,10 @@ def main(argv=None) -> int:
         scenes.append((sp, sn, truths))
         for n in names:
             occl_lines.append(f"{s + 1} {n} {truths[n][1]:.1f}")
-    occs = [int(pc.voxel_downsample_np(sp, None, scene_leaf)[0].shape[0])
-            for sp, _, _ in scenes[:4]]
+    na = args.models == "real"   # must match the CLI's voxelization mode
+    occs = [int(pc.voxel_downsample_np(sp, sn, scene_leaf,
+                                       normal_aware=na)[0].shape[0])
+            for sp, sn, _ in scenes[:4]]
     capacity = ((int(max(occs) * 1.15) + 127) // 128) * 128
     print(f"[uwa-analog] scene occupancies {occs}, capacity {capacity}",
           file=sys.stderr, flush=True)
@@ -262,6 +277,23 @@ def main(argv=None) -> int:
                 # ICP exhibits there (10.6 -> 2.4 mm on the scapula).
                 "--icp_point_to_plane",
                 "true" if args.models == "real" else "false",
+                # Thin real geometry (scapula blade, skull shell) collapses
+                # under plain centroid voxelization — both sides land in
+                # one cell and the averaged normal cancels. Octant-extended
+                # cell keys keep one point per side (see
+                # pc.voxel_downsample).
+                "--normal_aware_downsample",
+                "true" if args.models == "real" else "false",
+                # Real-scan model descriptions are big (skull: 735 points,
+                # ~15k occupied keys -> 210M votes/scene): the correlation
+                # engine's chunked contraction is the engine that scales
+                # there (EVAL.md shows it recognition-equivalent to the
+                # exact engines). runs_cap presized above the measured
+                # unique-cell count (~4.4M at this scene budget) so the
+                # whole sweep compiles one capacity bucket.
+                *(["--engine", "correlation",
+                   "--runs_cap", str(capacity * capacity // 4)]
+                  if args.models == "real" else []),
                 "--validation_files", ",".join(tpaths),
                 "--loglevel", "info",
                 "--logfile", str(run_dir / f"rs{s + 1}_0.log"),
