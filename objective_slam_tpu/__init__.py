@@ -28,6 +28,25 @@ Reference layer map: see SURVEY.md §1; component inventory §2.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache. Dataset sweeps and CLI invocations span
+# many processes over identical static shapes; without this every process
+# re-pays multi-minute compiles of the big voting graphs. Set via
+# jax.config (not the env var): this image's sitecustomize imports jax at
+# interpreter start, so JAX_COMPILATION_CACHE_DIR set here is never read.
+# TPU-platform only: XLA:CPU persists host-feature-specific AOT code whose
+# cross-process reload warns about SIGILL risk (and CPU compiles are cheap).
+if not _os.environ.get("OBJECTIVE_SLAM_TPU_NO_XLA_CACHE"):
+    import jax as _jax
+
+    _plat = (_jax.config.jax_platforms
+             or _os.environ.get("JAX_PLATFORMS", ""))
+    if (_jax.config.jax_compilation_cache_dir is None
+            and ("axon" in _plat or "tpu" in _plat)):
+        _jax.config.update("jax_compilation_cache_dir",
+                           "/tmp/objective_slam_tpu_xla_cache")
+
 from objective_slam_tpu.config import PPFConfig  # noqa: F401
 from objective_slam_tpu.models.drost import (  # noqa: F401
     ModelDescription,

@@ -98,14 +98,28 @@ def main(argv=None) -> int:
     desc = ost.build_model_description(mp, mn, cfg, d_dist=d_dist)
     scene_leaf = 0.5 * d_dist
 
+    # Static voxel capacity across every (k, seed): probe the densest k,
+    # pad 15%, round to lanes — the whole sweep then compiles ONCE per
+    # vote-capacity bucket instead of once per scene (pad rows sit at the
+    # far sentinel with zero normals — unmatchable).
+    probe = [pc.voxel_downsample_np(
+        *build_scene(np.random.default_rng(10_000 * max(ks) + s),
+                     mp_raw, mn_raw, max(ks), n_total, n_inst_pts)[:2],
+        scene_leaf)[0].shape[0] for s in range(2)]
+    capacity = ((int(max(probe) * 1.15) + 127) // 128) * 128
+    print(f"[inst] probed occupancies {probe}, capacity {capacity}",
+          file=sys.stderr, flush=True)
+
     rows = []
     for k in ks:
         for s in range(args.seeds):
             rng = np.random.default_rng(10_000 * k + s)
             sp, sn, truths = build_scene(rng, mp_raw, mn_raw, k,
                                          n_total, n_inst_pts)
-            vox = pc.voxel_downsample_np(sp, sn, scene_leaf)
-            res = ost.match(desc, vox[0], vox[1], cfg)
+            vox = pc.voxel_downsample(sp, sn, scene_leaf,
+                                      capacity=capacity)
+            assert not bool(vox.dropped)
+            res = ost.match(desc, vox.points, vox.normals, cfg)
             poses, counts = drost.extract_instances(
                 res, desc.diameter, max_instances=2 * k)
             matched_truth = [any(

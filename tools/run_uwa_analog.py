@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 import time
 from pathlib import Path
@@ -194,6 +195,9 @@ def main(argv=None) -> int:
     ap.add_argument("--quick", action="store_true",
                     help="2 scenes, coarser models (CI smoke)")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip scenes whose run1/ log is already complete "
+                         "(picks an interrupted sweep back up)")
     ap.add_argument("--models", choices=["synthetic", "real"],
                     default="synthetic",
                     help="'real' = laser-scanned skeleton meshes (skull/"
@@ -253,6 +257,19 @@ def main(argv=None) -> int:
     bits = []
     for s, (sp, sn, truths) in enumerate(scenes):
         scene_path = out / f"rs{s + 1}.ply"
+        log_path = run_dir / f"rs{s + 1}_0.log"
+        if args.resume and log_path.exists():
+            # A complete scene log carries one Match line per model; an
+            # interrupted run leaves a partial log, which we re-run.
+            found = re.findall(r"Match \(trans, rot\): (\d), (\d)",
+                               log_path.read_text())
+            if len(found) == len(names):
+                row = [int(a) & int(b) for a, b in found]
+                bits.append(row)
+                print(f"[uwa-analog] scene {s + 1}/{args.scenes}: "
+                      f"{dict(zip(names, row))} (resumed from log)",
+                      file=sys.stderr, flush=True)
+                continue
         ply.write_ply(scene_path, sp, sn)
         tpaths = []
         for n in names:
