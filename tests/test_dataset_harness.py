@@ -118,3 +118,20 @@ def test_mesh_partial_view_workflow(tmp_path, rng, capsys):
     analyze_uwa.read_run_dir(data, run_dir)
     occl_a, nd, rot, match = analyze_uwa.analyze(data)
     assert len(nd) == 2 and match.all(), (nd, rot)
+
+
+def test_scene_log_bits_resume_gate(tmp_path):
+    """run_uwa_analog --resume must skip only scenes whose log carries one
+    Match line per model; partial logs (interrupted mid-scene) re-run."""
+    import run_uwa_analog
+
+    log = tmp_path / "rs1_0.log"
+    assert run_uwa_analog.scene_log_bits(log, 2) is None   # missing
+
+    log.write_text("[ts]: Match (trans, rot): 1, 1\n")
+    assert run_uwa_analog.scene_log_bits(log, 2) is None   # partial
+
+    log.write_text("[ts]: Match (trans, rot): 1, 1\n"
+                   "noise line\n"
+                   "[ts]: Match (trans, rot): 1, 0\n")
+    assert run_uwa_analog.scene_log_bits(log, 2) == [1, 0]  # complete

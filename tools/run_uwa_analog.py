@@ -119,6 +119,19 @@ def build_models_real(n_samples: int = 6000, seed: int = 123):
     return out, normals
 
 
+def scene_log_bits(log_path: Path, n_models: int) -> list[int] | None:
+    """Match bits from a COMPLETE scene log (one Match line per model),
+    or None if the log is missing/partial (interrupted run) — the --resume
+    gate."""
+    if not log_path.exists():
+        return None
+    found = re.findall(r"Match \(trans, rot\): (\d), (\d)",
+                       log_path.read_text())
+    if len(found) != n_models:
+        return None
+    return [int(a) & int(b) for a, b in found]
+
+
 def build_scene(rng, models, normals):
     """One cluttered scene containing a partial view of EVERY model at a
     random pose (the UWA scenes hold all 4-5 objects). Returns
@@ -258,13 +271,9 @@ def main(argv=None) -> int:
     for s, (sp, sn, truths) in enumerate(scenes):
         scene_path = out / f"rs{s + 1}.ply"
         log_path = run_dir / f"rs{s + 1}_0.log"
-        if args.resume and log_path.exists():
-            # A complete scene log carries one Match line per model; an
-            # interrupted run leaves a partial log, which we re-run.
-            found = re.findall(r"Match \(trans, rot\): (\d), (\d)",
-                               log_path.read_text())
-            if len(found) == len(names):
-                row = [int(a) & int(b) for a, b in found]
+        if args.resume:
+            row = scene_log_bits(log_path, len(names))
+            if row is not None:
                 bits.append(row)
                 print(f"[uwa-analog] scene {s + 1}/{args.scenes}: "
                       f"{dict(zip(names, row))} (resumed from log)",
