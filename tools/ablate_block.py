@@ -86,6 +86,24 @@ def main():
         return dt
 
     wall(jax.jit(lambda p, q: jnp.sum(p, dtype=jnp.float32)), "[baseline]")
+    # Bench parity stage: voxel downsample of the RAW scan (bench's vrun
+    # re-voxelizes per rep; this isolates that cost from [keys]).
+    raw_args = [(jnp.asarray(scene_raw) + jnp.float32(1e-6 * (i + 1)),
+                 jnp.asarray(scene_nrm_raw)) for i in range(REPS)]
+    jax.block_until_ready(raw_args)
+
+    def wall_raw(fn, label):
+        out = fn(*raw_args[0])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [fn(*a) for a in raw_args]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / REPS
+        print(f"{label:18s} {dt*1e3:9.2f} ms", flush=True)
+        return dt
+
+    wall_raw(jax.jit(lambda p, q: pc.voxel_downsample(
+        p, q, d_dist, capacity=n).points), "[vox raw->2816]")
     wall(f_keys, "[keys]")
     wall(jax.jit(lambda p, q: vb._dict_match(
         f_keys(p, q)[0].reshape(-1), bt)), "[keys+dict]")

@@ -366,6 +366,33 @@ def main(argv=None) -> int:
         "rot_err_rad_median": float(np.median(rot)),
         "wall_s": time.time() - t0,
     }
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        # Recognition-rate-vs-occlusion — the headline figure of the UWA
+        # papers (complements analyze_uwa's per-result error scatters).
+        xs = [(lo + min(hi, 100)) / 2 for (lo, hi) in bins
+              if any(c["occ_bin"] == f"{lo}-{hi}" for c in curve)]
+        ys = [100.0 * c["match_rate"] for c in curve]
+        ns = [c["n"] for c in curve]
+        plt.figure(figsize=(7, 5))
+        plt.plot(xs, ys, "o-", color="tab:blue")
+        for x, y, m in zip(xs, ys, ns):
+            plt.annotate(f"n={m}", (x, y), textcoords="offset points",
+                         xytext=(6, 6), fontsize=8)
+        plt.xlabel("Percent Occlusion")
+        plt.ylabel("Recognition Rate (%)")
+        plt.title(f"Recognition rate vs occlusion "
+                  f"({args.scenes} scenes x {len(names)} models)")
+        plt.ylim(-5, 105)
+        plt.grid(alpha=0.3)
+        plt.savefig(out / "uwa_analog_rate.png", dpi=120,
+                    bbox_inches="tight")
+        print(f"wrote {out / 'uwa_analog_rate.png'}", file=sys.stderr)
+    except ImportError:
+        pass
     (out / "summary.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary, indent=1))
     return 0
