@@ -446,3 +446,33 @@ def test_real_mesh_models_load():
         assert np.isfinite(n).all()
         np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0,
                                    atol=1e-4)
+
+
+def test_smallest_eigvec_sym3_vs_eigh(rng):
+    """Closed-form 3x3 min-eigenvector matches numpy eigh (up to sign) on
+    generic covariances and stays finite/unit on degenerate ones."""
+    from objective_slam_tpu.utils.pointcloud import _smallest_eigvec_sym3
+
+    pts = rng.normal(size=(64, 12, 3)).astype(np.float32)
+    pts *= np.float32([1.0, 0.6, 0.15])          # anisotropic -> clear gap
+    c = pts - pts.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", c, c) / c.shape[1]
+    got = np.asarray(_smallest_eigvec_sym3(jnp.asarray(cov)))
+    for i in range(len(cov)):
+        w, v = np.linalg.eigh(cov[i])
+        want = v[:, 0]
+        dot = abs(float(got[i] @ want))
+        assert dot > 0.999, (i, dot, w)
+
+    # Degenerate: isotropic (all eigvals equal) and rank-1 (a line) must
+    # return finite unit vectors (fallback), not NaN.
+    iso = np.tile(np.eye(3, dtype=np.float32)[None], (2, 1, 1))
+    line = np.zeros((2, 3, 3), np.float32)
+    line[:, 0, 0] = 1.0
+    out = np.asarray(_smallest_eigvec_sym3(jnp.asarray(
+        np.concatenate([iso, line]))))
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+    # rank-1 line cov: the min-eigenspace is the plane orthogonal to x —
+    # the returned vector must be orthogonal to x.
+    assert np.all(np.abs(out[2:, 0]) < 1e-3), out[2:]
