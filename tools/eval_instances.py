@@ -98,14 +98,17 @@ def main(argv=None) -> int:
     desc = ost.build_model_description(mp, mn, cfg, d_dist=d_dist)
     scene_leaf = 0.5 * d_dist
 
-    # Static voxel capacity across every (k, seed): probe the densest k,
-    # pad 15%, round to lanes — the whole sweep then compiles ONCE per
-    # vote-capacity bucket instead of once per scene (pad rows sit at the
-    # far sentinel with zero normals — unmatchable).
+    # Static voxel capacity across every (k, seed): probe BOTH k extremes
+    # (low k = more planar clutter, high k = more instance surface — either
+    # can dominate the voxel count), pad 15%, round to lanes — the whole
+    # sweep then compiles ONCE per vote-capacity bucket instead of once per
+    # scene (pad rows sit at the far sentinel with zero normals —
+    # unmatchable).
     probe = [pc.voxel_downsample_np(
-        *build_scene(np.random.default_rng(10_000 * max(ks) + s),
-                     mp_raw, mn_raw, max(ks), n_total, n_inst_pts)[:2],
-        scene_leaf)[0].shape[0] for s in range(2)]
+        *build_scene(np.random.default_rng(10_000 * k + s),
+                     mp_raw, mn_raw, k, n_total, n_inst_pts)[:2],
+        scene_leaf)[0].shape[0]
+        for k in {min(ks), max(ks)} for s in range(2)]
     capacity = ((int(max(probe) * 1.15) + 127) // 128) * 128
     print(f"[inst] probed occupancies {probe}, capacity {capacity}",
           file=sys.stderr, flush=True)
