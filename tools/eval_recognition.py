@@ -235,13 +235,16 @@ def main():
                    "diameter": desc.diameter, "seeds": seeds,
                    "n_total": n_total, "results": results}, f)
 
-    # Summary table.
+    # Summary table (the agreement column only exists when both fast and
+    # correlation ran — focused subsets skip it).
+    cols = engines + (["agree_fast_corr"]
+                      if {"fast", "correlation"} <= set(engines) else [])
     print(f"{'noise':>6} {'occ':>5} | " + " | ".join(
-        f"{e:>12}" for e in engines + ["agree_fast_corr"]))
+        f"{e:>12}" for e in cols))
     for noise in noises:
         for occ in occs:
             row = []
-            for e in engines + ["agree_fast_corr"]:
+            for e in cols:
                 sel = [r for r in results
                        if r["engine"] == e and r["noise"] == noise
                        and r["occ"] == occ]
