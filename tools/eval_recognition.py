@@ -119,12 +119,10 @@ def main():
         n_model_raw, n_total, seeds = 2500, 8000, min(args.seeds, 4)
         noises = [0.0, 0.5]
         occs = [0.0, 0.3]
-        vox_capacity = 1024
     else:
         n_model_raw, n_total, seeds = 6000, 30000, args.seeds
         noises = [0.0, 0.25, 0.5]
         occs = [0.0, 0.3, 0.5]
-        vox_capacity = 2048
     if args.noises is not None:
         noises = [float(x) for x in args.noises.split(",")]
     if args.occs is not None:
@@ -152,6 +150,27 @@ def main():
                          rescore_poses=e.endswith("+rescore"))
             for e in engines}
 
+    # Static VOXEL capacity from probed occupancy at the noisiest corner:
+    # point noise inflates the occupied-cell count (~1900 voxels clean ->
+    # ~4000 at sigma = 0.5·leaf for the 30k scene). The fixed 2048 used
+    # before round 3's audit silently merged every voxel past capacity
+    # into one garbage cell (voxel_downsample clips; `dropped` was never
+    # checked) — the "noise cliff" in the round-2 table was largely THAT
+    # truncation, not noise physics. Capacity is now sized from the probe
+    # (pad 15%, lane-rounded) and `dropped` fails the run loudly.
+    occ_probe = []
+    for s in range(2):
+        for noise_probe in (0.0, max(noises)):
+            rng = np.random.default_rng(1000 + s)
+            sp, sn, _ = build_trial(rng, mp_raw, mn_raw, n_total=n_total,
+                                    occlusion=0.0, noise_rel=noise_probe,
+                                    leaf=leaf)
+            occ_probe.append(
+                int(pc.voxel_downsample_np(sp, sn, leaf)[0].shape[0]))
+    vox_capacity = ((int(max(occ_probe) * 1.15) + 127) // 128) * 128
+    print(f"[eval] voxel occupancies {occ_probe} -> capacity {vox_capacity}",
+          file=sys.stderr, flush=True)
+
     # Static vote capacity: probe the vote-heaviest corners (occlusion 0 =
     # full model instance; both noise extremes — noise spreads scene keys
     # across more buckets and can RAISE the match count), take the max,
@@ -165,6 +184,7 @@ def main():
                                     occlusion=0.0, noise_rel=noise_probe,
                                     leaf=leaf)
             vox = pc.voxel_downsample(sp, sn, leaf, capacity=vox_capacity)
+            assert not bool(vox.dropped)
             tot, rows, _ = drost._count_votes(desc, vox.points, vox.normals,
                                               cfg0.ref_point_df,
                                               cfg0.d_angle)
@@ -192,6 +212,7 @@ def main():
                     noise_rel=noise, leaf=leaf)
                 vox = pc.voxel_downsample(sp, sn, leaf,
                                           capacity=vox_capacity)
+                assert not bool(vox.dropped), (noise, occ, s)
                 sn_smooth = np.asarray(pc.smooth_normals_grid(sp, sn, leaf))
                 vox_s = pc.voxel_downsample(sp, sn_smooth, leaf,
                                             capacity=vox_capacity)
