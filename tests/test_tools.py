@@ -55,3 +55,34 @@ def test_analyze_uwa(tmp_path):
     assert match[2]
     rc = analyze_uwa.main([str(occ), str(run)])
     assert rc == 0
+
+
+def test_merge_eval_dedup_and_protocol(tmp_path):
+    import json
+    import merge_eval
+
+    base = {"model_points": 259, "diameter": 2.7, "seeds": 6,
+            "n_total": 8000}
+    r = lambda noise, occ, seed, eng, match: {  # noqa: E731
+        "noise": noise, "occ": occ, "seed": seed, "engine": eng,
+        "trans_err": 0.01, "rot_err_deg": 1.0, "match": match,
+        "overflowed": False}
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({**base, "results": [
+        r(0.0, 0.0, 0, "fast", False), r(0.0, 0.0, 1, "fast", True)]}))
+    # b re-runs (0.0, 0.0, 0) — the re-run supersedes — and adds a new cell.
+    b.write_text(json.dumps({**base, "results": [
+        r(0.0, 0.0, 0, "fast", True), r(0.5, 0.0, 0, "fast", True)]}))
+
+    merged = merge_eval.merge([str(a), str(b)])
+    key = {(x["noise"], x["occ"], x["seed"]): x["match"]
+           for x in merged["results"]}
+    assert len(merged["results"]) == 3
+    assert key[(0.0, 0.0, 0)] is True  # last wins
+
+    c = tmp_path / "c.json"
+    c.write_text(json.dumps({**base, "seeds": 30, "results": []}))
+    import pytest
+    with pytest.raises(SystemExit):
+        merge_eval.merge([str(a), str(c)])
