@@ -138,16 +138,22 @@ def main():
     leaf = d_dist
 
     # "fast+smooth" = exact engine on a scene whose noisy normal field
-    # was box-averaged on device first (pc.smooth_normals_grid) — the
-    # noise-cliff countermeasure: PPF features are normal-driven and the
-    # sigma=0.5 collapse is a normal-quality failure, not a voting one.
+    # was box-averaged on device first (pc.smooth_normals_grid). Measured
+    # effect at sigma = 0.5·leaf (EVAL.md): key agreement with the clean
+    # scene improves ~5x, but the window adds a coherent ~5 deg orientation
+    # bias, so WITHOUT refinement the Hough pose slides past the 12 deg
+    # budget more often than raw noise does. "+icp" variants measure the
+    # production configuration (every CLI/bench path refines with ICP
+    # against the raw scan), where that marginal-rotation failure mode is
+    # pulled back inside the budget.
     engines = ["fast", "reference", "correlation", "fast+rescore",
-               "fast+smooth"]
+               "fast+smooth", "fast+icp", "fast+smooth+icp"]
     if args.engines is not None:
         engines = [e for e in engines if e in args.engines.split(",")]
     cfgs = {e: PPFConfig(max_poses=512, ref_point_df=5,
                          engine=e.split("+")[0],
-                         rescore_poses=e.endswith("+rescore"))
+                         rescore_poses="+rescore" in e,
+                         refine_icp="+icp" in e)
             for e in engines}
 
     # Static VOXEL capacity from probed occupancy at the noisiest corner:
@@ -195,8 +201,8 @@ def main():
         2 * max(r for _, r in probe_caps) * 128
         + voting_block.CHUNK_ROWS * n_ref * 128)
     cap_ref = drost._next_cap(2 * max(t for t, _ in probe_caps))
-    caps = {"fast": cap_block, "reference": cap_ref, "correlation": 0,
-            "fast+rescore": cap_block, "fast+smooth": cap_block}
+    caps = {e: {"fast": cap_block, "reference": cap_ref,
+                "correlation": 0}[e.split("+")[0]] for e in engines}
     print(f"[eval] caps: block {cap_block}, reference {cap_ref}",
           file=sys.stderr, flush=True)
 
@@ -218,11 +224,22 @@ def main():
                                             capacity=vox_capacity)
                 poses = {}
                 for e in engines:
-                    vox_e = vox_s if e == "fast+smooth" else vox
+                    smooth = "+smooth" in e
+                    vox_e = vox_s if smooth else vox
+                    if cfgs[e].refine_icp:
+                        # ICP refines against the (subsampled) raw scan —
+                        # the production configuration (cli.py, bench.py);
+                        # the voxelized cloud alone stalls ICP at the
+                        # sampling-spacing floor.
+                        icp_p = sp[::4]
+                        icp_n = (sn_smooth if smooth else sn)[::4]
+                    else:
+                        icp_p = icp_n = None
                     res = drost._match_jit(desc, vox_e.points,
                                            vox_e.normals,
                                            cfgs[e].ref_point_df, caps[e],
-                                           cfgs[e])
+                                           cfgs[e], icp_points=icp_p,
+                                           icp_normals=icp_n)
                     pose = np.asarray(res.pose)
                     td, rd = (float(x) for x in tr.ht_dist(pose, T_true))
                     poses[e] = pose
