@@ -361,25 +361,39 @@ def estimate_normals_grid(points, radius, viewpoint=(0.0, 0.0, 0.0),
 
 
 def smooth_normals_grid(points, normals, radius, dims=None,
-                        iterations: int = 1):
-    """Box-average a noisy normal FIELD over the 27-cell grid neighborhood
+                        iterations: int = 1, order: int = 0,
+                        ridge: float = 0.05):
+    """Smooth a noisy normal FIELD over the 27-cell grid neighborhood
     (leaf = radius) — same O(n + grid) machinery as estimate_normals_grid,
     but smoothing GIVEN normals instead of re-deriving them from point
     positions, so the input's orientation convention is preserved (each
     output normal is sign-aligned with its input).
 
-    This is the noise-cliff fix (EVAL.md §3): PPF features are
-    normal-driven (kernel.cu:109-122), and at sensor-noise levels the
-    per-point normal error — not the voting — is what collapses the match
-    rate. Averaging ~k neighborhood normals shrinks iid angular noise by
-    ~1/√k while the surface's low-frequency orientation survives (the
-    neighborhood is ≲ 3·radius across; keep radius ≈ the scan's leaf).
+    order=0 — plain box average. Shrinks iid angular noise by ~1/√k, but
+    on curved surfaces the window mean is BIASED toward the window's mean
+    orientation (~5° at radius ≈ leaf on bench-blob curvature — measured
+    in EVAL.md). Hough voting averages zero-mean noise but not coherent
+    bias, so at σ = 0.5·leaf this variant measurably HURTS unrefined
+    recognition (EVAL.md "Normal smoothing at σ = 0.5").
+
+    order=1 — first-order (moving-least-squares) fit: regress the normal
+    field linearly on position over the window, n(x) ≈ a + Bᵀ(x − c), and
+    EVALUATE AT THE QUERY POINT. The linear term absorbs the first-order
+    curvature variation, cancelling the window bias that order=0 pays
+    while keeping the same variance reduction. Costs one 22-channel
+    moment grid (vs 3) and a ridge-regularized 3×3 solve per point.
 
     Args:
       points: (n, 3). normals: (n, 3) noisy unit normals.
       radius: grid leaf (smoothing scale).
       dims: optional static grid shape (see estimate_normals_grid).
       iterations: smoothing passes (each widens the kernel by ~one cell).
+      order: 0 = box mean, 1 = linear MLS fit (bias-corrected).
+      ridge: order=1 regularizer as a fraction of mean(trace(Cxx)) — a
+        planar window's position covariance is rank-2, so the solve needs
+        damping along the normal direction; the correction there is noise
+        anyway (the normal field has no real gradient through the
+        surface).
     """
     p_np = None
     if dims is None:
@@ -397,12 +411,53 @@ def smooth_normals_grid(points, normals, radius, dims=None,
     cell = jnp.clip(jnp.floor((p - lo) / jnp.float32(radius)).astype(
         jnp.int32), 0, jnp.asarray([dx - 1, dy - 1, dz - 1]))
     key = (cell[:, 0] * dy + cell[:, 1]) * dz + cell[:, 2]
+    # Window-relative coordinates (subtract the cloud mean) keep the f32
+    # second moments small regardless of where the scan sits in space.
+    pc_rel = p - jnp.mean(p, axis=0)
 
     out = nr
     for _ in range(iterations):
-        grid = jax.ops.segment_sum(out, key, num_segments=n_cells)
-        grid = _box3(grid.reshape(dx, dy, dz, 3)).reshape(n_cells, 3)
-        s = jnp.take(grid, key, axis=0)                   # (n, 3) row gather
+        if order == 0:
+            grid = jax.ops.segment_sum(out, key, num_segments=n_cells)
+            grid = _box3(grid.reshape(dx, dy, dz, 3)).reshape(n_cells, 3)
+            s = jnp.take(grid, key, axis=0)               # (n, 3) row gather
+        else:
+            # Moments: [1, x(3), n(3), xxᵀ(6 sym), x⊗n(9)] = 22 channels.
+            x = pc_rel
+            mom = jnp.concatenate([
+                jnp.ones((x.shape[0], 1), jnp.float32), x, out,
+                x * x, x[:, [0, 0, 1]] * x[:, [1, 2, 2]],
+                (x[:, :, None] * out[:, None, :]).reshape(-1, 9)
+            ], axis=1)                                    # (n, 22)
+            grid = jax.ops.segment_sum(mom, key, num_segments=n_cells)
+            grid = _box3(grid.reshape(dx, dy, dz, 22)).reshape(n_cells, 22)
+            s22 = jnp.take(grid, key, axis=0)             # (n, 22) row gather
+            cnt = jnp.maximum(s22[:, 0], 1.0)[:, None]
+            c = s22[:, 1:4] / cnt                         # window centroid
+            nbar = s22[:, 4:7] / cnt                      # window mean normal
+            exx = s22[:, 7:10] / cnt
+            exy = s22[:, 10:13] / cnt                     # xy, xz, yz
+            exn = s22[:, 13:22].reshape(-1, 3, 3) / cnt[:, :, None]
+            cxx = jnp.zeros((x.shape[0], 3, 3), jnp.float32)
+            cxx = cxx.at[:, 0, 0].set(exx[:, 0] - c[:, 0] * c[:, 0])
+            cxx = cxx.at[:, 1, 1].set(exx[:, 1] - c[:, 1] * c[:, 1])
+            cxx = cxx.at[:, 2, 2].set(exx[:, 2] - c[:, 2] * c[:, 2])
+            cxx = cxx.at[:, 0, 1].set(exy[:, 0] - c[:, 0] * c[:, 1])
+            cxx = cxx.at[:, 0, 2].set(exy[:, 1] - c[:, 0] * c[:, 2])
+            cxx = cxx.at[:, 1, 2].set(exy[:, 2] - c[:, 1] * c[:, 2])
+            cxx = cxx.at[:, 1, 0].set(cxx[:, 0, 1])
+            cxx = cxx.at[:, 2, 0].set(cxx[:, 0, 2])
+            cxx = cxx.at[:, 2, 1].set(cxx[:, 1, 2])
+            cxn = exn - c[:, :, None] * nbar[:, None, :]  # Cov(x, n) (3,3)
+            tr = (cxx[:, 0, 0] + cxx[:, 1, 1] + cxx[:, 2, 2]) / 3.0
+            lam = (jnp.float32(ridge) * tr + 1e-12)[:, None, None]
+            A = cxx + lam * jnp.eye(3, dtype=jnp.float32)
+            # B = A⁻¹ Cxn; n(p) = n̄ + Bᵀ (p − c). Batched 3×3 solve.
+            B = jnp.linalg.solve(A, cxn)                  # (n, 3, 3)
+            d = (pc_rel - c)[:, :, None]                  # (n, 3, 1)
+            s = nbar + jnp.sum(B * d, axis=1)             # (n, 3)
+            # Single-point / degenerate windows: fall back to the mean.
+            s = jnp.where((cnt > 3.0) & (tr[:, None] > 1e-20), s, nbar)
         norm = jnp.linalg.norm(s, axis=1, keepdims=True)
         sm = s / jnp.where(norm > 1e-12, norm, 1.0)
         # Keep each point's hemisphere; a degenerate (cancelled) average

@@ -476,3 +476,33 @@ def test_smallest_eigvec_sym3_vs_eigh(rng):
     # rank-1 line cov: the min-eigenspace is the plane orthogonal to x —
     # the returned vector must be orthogonal to x.
     assert np.all(np.abs(out[2:, 0]) < 1e-3), out[2:]
+
+
+def test_smooth_normals_grid_order1_cancels_window_bias(rng):
+    """On a curved surface the order-0 box average is biased toward the
+    window's mean orientation; the order-1 (linear MLS) fit evaluates the
+    fitted field AT the query point, cancelling the first-order term.
+    Measured on a CLEAN normal field (pure window bias, no noise), order=1
+    must carry materially less bias; on a noisy field it must still
+    denoise."""
+    v = rng.normal(size=(6000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = v.astype(np.float32)                      # unit sphere, curvature 1
+
+    def mean_err(a, b):
+        return np.degrees(np.arccos(np.clip(np.abs(np.sum(a * b, axis=1)),
+                                            0, 1))).mean()
+
+    bias0 = mean_err(np.asarray(
+        pc.smooth_normals_grid(pts, pts.copy(), radius=0.3, order=0)), v)
+    bias1 = mean_err(np.asarray(
+        pc.smooth_normals_grid(pts, pts.copy(), radius=0.3, order=1)), v)
+    assert bias1 < 0.6 * bias0, (bias0, bias1)
+
+    noisy = v + rng.normal(scale=0.25, size=v.shape)
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    noisy = noisy.astype(np.float32)
+    sm1 = np.asarray(pc.smooth_normals_grid(pts, noisy, radius=0.3, order=1))
+    assert mean_err(sm1, v) < 0.6 * mean_err(noisy, v)
+    np.testing.assert_allclose(np.linalg.norm(sm1, axis=1), 1.0, atol=1e-4)
+    assert (np.sum(sm1 * v, axis=1) > 0).mean() > 0.99

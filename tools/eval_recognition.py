@@ -146,8 +146,11 @@ def main():
     # production configuration (every CLI/bench path refines with ICP
     # against the raw scan), where that marginal-rotation failure mode is
     # pulled back inside the budget.
+    # "+smooth1" = the order-1 (linear MLS) smoother, which cancels the
+    # box window's first-order curvature bias (see the same EVAL section).
     engines = ["fast", "reference", "correlation", "fast+rescore",
-               "fast+smooth", "fast+icp", "fast+smooth+icp"]
+               "fast+smooth", "fast+smooth1", "fast+icp", "fast+smooth+icp",
+               "fast+smooth1+icp"]
     if args.engines is not None:
         engines = [e for e in engines if e in args.engines.split(",")]
     cfgs = {e: PPFConfig(max_poses=512, ref_point_df=5,
@@ -219,20 +222,34 @@ def main():
                 vox = pc.voxel_downsample(sp, sn, leaf,
                                           capacity=vox_capacity)
                 assert not bool(vox.dropped), (noise, occ, s)
-                sn_smooth = np.asarray(pc.smooth_normals_grid(sp, sn, leaf))
-                vox_s = pc.voxel_downsample(sp, sn_smooth, leaf,
-                                            capacity=vox_capacity)
+                # Lazy per-scene smoothing variants (order 0 = box mean,
+                # order 1 = bias-cancelling linear MLS fit), built only
+                # when a requesting engine runs.
+                smoothed = {}
+
+                def smooth_variant(order):
+                    if order not in smoothed:
+                        nrm = np.asarray(pc.smooth_normals_grid(
+                            sp, sn, leaf, order=order))
+                        smoothed[order] = (nrm, pc.voxel_downsample(
+                            sp, nrm, leaf, capacity=vox_capacity))
+                    return smoothed[order]
+
                 poses = {}
                 for e in engines:
-                    smooth = "+smooth" in e
-                    vox_e = vox_s if smooth else vox
+                    if "+smooth1" in e:
+                        sn_e, vox_e = smooth_variant(1)
+                    elif "+smooth" in e:
+                        sn_e, vox_e = smooth_variant(0)
+                    else:
+                        sn_e, vox_e = sn, vox
                     if cfgs[e].refine_icp:
                         # ICP refines against the (subsampled) raw scan —
                         # the production configuration (cli.py, bench.py);
                         # the voxelized cloud alone stalls ICP at the
                         # sampling-spacing floor.
                         icp_p = sp[::4]
-                        icp_n = (sn_smooth if smooth else sn)[::4]
+                        icp_n = sn_e[::4]
                     else:
                         icp_p = icp_n = None
                     res = drost._match_jit(desc, vox_e.points,
