@@ -83,6 +83,20 @@ def configure_options(argv=None) -> argparse.Namespace:
     p.add_argument("--estimate_normals_k", type=int, default=0,
                    help="if >0, (re-)estimate normals with k-NN PCA when "
                         "a PLY lacks them")
+    p.add_argument("--smooth_normals", type=int, default=0,
+                   help="if >0, smooth SCENE normals with this many "
+                        "grid passes at --scene_leaf_size before "
+                        "downsampling (sensor-noise denoising; "
+                        "smooth_normals_grid). Pair with --icp_iterations: "
+                        "smoothing adds a small coherent orientation bias "
+                        "that unrefined Hough poses pay for, ICP pulls "
+                        "back (EVAL.md 'Normal smoothing at sigma=0.5')")
+    p.add_argument("--smooth_normals_order", type=int, default=1,
+                   choices=[0, 1],
+                   help="0 = box mean over the grid window; 1 (default) = "
+                        "linear MLS fit evaluated at the query point, "
+                        "cancelling the window's first-order curvature "
+                        "bias at the cost of a 22-channel moment grid")
     p.add_argument("--max_poses", type=int, default=1024)
     p.add_argument("--engine", type=str, default="fast",
                    choices=["fast", "reference", "correlation"],
@@ -193,7 +207,20 @@ def _run(args) -> int:
     scene_clouds = []
     for f in args.scene_files:
         log.info("Loading scene point cloud: %s", f)
-        scene_clouds.append(_load_cloud(f, args))
+        sp, sn = _load_cloud(f, args)
+        if args.smooth_normals > 0:
+            # Smooth the full-resolution scan's normal FIELD before any
+            # downsampling so the voxelized matcher input AND the ICP
+            # refinement cloud (which is this pre-downsample scan) share
+            # the denoised orientation — the eval harness protocol.
+            sn = np.asarray(pc.smooth_normals_grid(
+                sp, sn, args.scene_leaf_size,
+                iterations=args.smooth_normals,
+                order=args.smooth_normals_order))
+            log.info("Smoothed scene normals: %d passes, order %d, "
+                     "radius %g", args.smooth_normals,
+                     args.smooth_normals_order, args.scene_leaf_size)
+        scene_clouds.append((sp, sn))
 
     if len(args.tau_d) != len(args.model_files):
         log.error("Each model must have an associated tau_d.")

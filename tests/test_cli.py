@@ -141,6 +141,31 @@ def test_cli_icp_point_to_plane(scene_fixture, capsys):
     assert out.strip() == "1"
 
 
+def test_cli_smooth_normals(tmp_path, rng, capsys):
+    """--smooth_normals denoises a noisy scene's normal field (order-1 MLS
+    by default) before matching; with ICP (the production pairing) the
+    match bit must come back 1 on a scene whose normals carry heavy iid
+    angular noise."""
+    mp, mn = synthetic.blob_cloud(rng, 90)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    noisy = sn + rng.normal(scale=0.3, size=sn.shape).astype(np.float32)
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    model_path, scene_path, truth_path = (tmp_path / "model.ply",
+                                          tmp_path / "scene.ply",
+                                          tmp_path / "truth.txt")
+    ply.write_ply(model_path, mp, mn)
+    ply.write_ply(scene_path, sp, noisy.astype(np.float32))
+    validation.write_truth_file(truth_path, T_true)
+    rc, out = _run([
+        "--scene_files", str(scene_path), "--model_files", str(model_path),
+        "--tau_d", "0.1", "--scene_leaf_size", "0.05",
+        "--smooth_normals", "1", "--icp_iterations", "10",
+        "--validation_files", str(truth_path),
+    ], capsys)
+    assert rc == 0
+    assert out.strip() == "1"
+
+
 def test_cli_reference_engine(scene_fixture, capsys):
     model, scene, truth = scene_fixture
     rc, out = _run([
