@@ -46,6 +46,38 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/objective_slam_tpu_xla_cache")
 
 
+def _await_relay():
+    """TPU-tunnel preflight: jax backend init blocks FOREVER at 0% CPU when
+    the axon relay (127.0.0.1:8082) is down, and outages can last hours.
+    Probe the port first; wait a bounded time (BENCH_RELAY_WAIT_S, default
+    30 min) for it to return, then fail loudly with a non-zero exit so the
+    caller sees an outage, not a hang. Skipped on explicit CPU runs."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return
+    import socket
+
+    def up():
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=2):
+                return True
+        except OSError:
+            return False
+
+    deadline = time.time() + float(os.environ.get("BENCH_RELAY_WAIT_S",
+                                                  "1800"))
+    waited = False
+    while not up():
+        if time.time() > deadline:
+            print("bench: TPU relay 127.0.0.1:8082 unreachable for "
+                  "BENCH_RELAY_WAIT_S — aborting instead of hanging in "
+                  "jax init", file=sys.stderr, flush=True)
+            sys.exit(2)
+        if not waited:
+            _log("TPU relay down; waiting for 127.0.0.1:8082 ...")
+            waited = True
+        time.sleep(20)
+
+
 def build_model(rng, n_model_raw=20_000):
     from objective_slam_tpu.utils import synthetic
     return synthetic.blob_cloud(rng, n_model_raw)
@@ -118,6 +150,7 @@ def _time(fn, args_list, warm):
 
 
 def main():
+    _await_relay()
     import jax
     import jax.numpy as jnp
     import objective_slam_tpu as ost
