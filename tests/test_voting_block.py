@@ -130,3 +130,33 @@ def test_match_e2e_block_vs_legacy(rng):
                                   np.asarray(res_legacy.accumulator))
     np.testing.assert_allclose(np.asarray(res.pose),
                                np.asarray(res_legacy.pose), atol=1e-5)
+
+
+def test_dict_match_digits_exact(rng):
+    """The single-pass digit-split dictionary contraction
+    (_dict_match_digits, the TPU default) returns bit-identical
+    (count, row_start) to the chunked HIGHEST-precision path for payload
+    integers up to the engine's 2^24 exactness bound — including values
+    far past bf16's 8-bit mantissa, misses, and INVALID_KEY pairs."""
+    k_occ = 300
+    K_pad = voting_block._ceil_to(k_occ, voting_block.LANES)
+    keys = rng.choice(1 << 20, size=k_occ, replace=False).astype(np.int32)
+    occ_keys = np.full((K_pad,), -2, np.int32)
+    occ_keys[:k_occ] = keys
+    occ_vals = np.zeros((K_pad, 2), np.float32)
+    # Counts/row starts spanning 1..2^24-1 (the engine's exactness bound).
+    occ_vals[:k_occ, 0] = rng.integers(1, (1 << 24) - 1, size=k_occ)
+    occ_vals[:k_occ, 1] = rng.integers(0, (1 << 24) - 1, size=k_occ)
+    bt = voting_block.BlockTables(
+        occ_keys=jnp.asarray(occ_keys), occ_vals=jnp.asarray(occ_vals),
+        pair2d=jnp.zeros((1, 128), jnp.uint32), k_occ=k_occ, n_rows=0)
+
+    hits = rng.choice(keys, size=900).astype(np.int32)
+    misses = rng.choice(1 << 20, size=300).astype(np.int32)
+    invalid = np.full((100,), np.iinfo(np.int32).max, np.int32)
+    flat = jnp.asarray(np.concatenate([hits, misses, invalid]))
+
+    cnt_d, brs_d = voting_block._dict_match_digits(flat, bt)
+    cnt_r, brs_r = voting_block._dict_match(flat, bt)
+    np.testing.assert_array_equal(np.asarray(cnt_d), np.asarray(cnt_r))
+    np.testing.assert_array_equal(np.asarray(brs_d), np.asarray(brs_r))
