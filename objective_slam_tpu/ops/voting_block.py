@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from objective_slam_tpu.ops import ppf as ppf_ops
 from objective_slam_tpu.ops import voting as voting_ref
+from objective_slam_tpu.ops import voting_fast as vf
 
 LANES = 128
 CHUNK_ROWS = 64                 # tally chunk = 64 rows = 8192 vote slots
@@ -170,31 +171,15 @@ def _dict_match_digits(flat_keys, tables: BlockTables):
     """(cnt, row_start) via a SINGLE-PASS bf16 dictionary matmul.
 
     The legacy form needs Precision.HIGHEST (6 bf16 MXU passes) because the
-    payload integers (< 2^24) exceed bf16's 8-bit mantissa. Splitting each
-    payload into four 7-bit digits makes EVERY operand exactly
-    representable in bf16 — one-hot entries are 0/1 and digits are < 128 —
-    and each output element is the single matched entry's digit (at most
-    one dictionary key equals any scene key), so there is no accumulation
-    to lose precision in. One default-precision pass is exact by
-    construction and ~6x cheaper on the MXU; recombination is an S×4
-    elementwise dot against [1, 128, 128², 128³].
-
+    payload integers (< 2^24) exceed bf16's 8-bit mantissa; the digit-split
+    contraction (voting_fast.dict_digits_matmul — four 7-bit digits cover
+    2^24, exact by construction) does it in one default-precision pass.
     The (K_pad, 8) digit table is recomputed from occ_vals per call — a
     K_pad-sized op, free next to the S×K_pad contraction."""
-    v = tables.occ_vals                                   # (K_pad, 2) f32
-    digs = []
-    for d in range(4):
-        digs.append(jnp.floor(v[:, 0] / (128.0 ** d)) % 128.0)
-    for d in range(4):
-        digs.append(jnp.floor(v[:, 1] / (128.0 ** d)) % 128.0)
-    dig_tbl = jnp.stack(digs, axis=1).astype(jnp.bfloat16)  # (K_pad, 8)
-    onehot = (flat_keys[:, None] == tables.occ_keys[None, :]) \
-        .astype(jnp.bfloat16)
-    out = jnp.dot(onehot, dig_tbl,
-                  preferred_element_type=jnp.float32)       # (S, 8)
-    scale = jnp.asarray([1, 128, 128 ** 2, 128 ** 3], jnp.float32)
-    cnt = jnp.sum(out[:, 0:4] * scale, axis=1).astype(jnp.int32)
-    brs = jnp.sum(out[:, 4:8] * scale, axis=1).astype(jnp.int32)
+    out = vf.dict_digits_matmul(flat_keys, tables.occ_keys,
+                                tables.occ_vals, n_digits=4)
+    cnt = out[:, 0].astype(jnp.int32)
+    brs = out[:, 1].astype(jnp.int32)
     return cnt, brs
 
 

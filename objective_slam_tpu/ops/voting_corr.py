@@ -81,11 +81,31 @@ class CorrTables:
     n_angle: int
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k1", "n_angle", "n_model"))
+def _scatter_m3_device(rank_idx, col_idx, *, k1, n_angle, n_model):
+    """(k1, 2·n_angle, n_model) m3_dup from per-pair (rank, α·m) indices.
+
+    A 2-D scatter keeps every index int32-safe even when
+    k1·n_angle·n_model passes 2^31 (big real-scan models); invalid rows
+    carry rank_idx == k1 and drop."""
+    m3 = jnp.zeros((k1, n_angle * n_model), jnp.float32) \
+        .at[rank_idx, col_idx].add(1.0, mode="drop") \
+        .reshape(k1, n_angle, n_model)
+    return jnp.concatenate([m3, m3], axis=1)
+
+
 def build_corr_tables(table: voting_ref.KeyTable, n_model: int,
                       n_angle: int = 30) -> CorrTables:
-    """Host-side build from the key table (pairs sorted by key)."""
+    """Build from the key table (pairs sorted by key).
+
+    The P-sized index math runs on host (the arrays are a few MB), but the
+    m3 histogram itself is scattered ON DEVICE: it is (k_occ+1, 2n, n_m)
+    f32 — multi-GB for real-scan models (skull: 2.6 GB) — and a host build
+    re-ships the whole thing host→device on every call (~27 min/model
+    through the axon tunnel; the per-pair scatter on device is ~10 ms at
+    the indexed-op floor)."""
     counts = np.asarray(table.counts)
-    offsets = np.asarray(table.offsets)
     pair_mr = np.asarray(table.pair_mr)
     pair_alpha = np.asarray(table.pair_alpha)
 
@@ -98,7 +118,8 @@ def build_corr_tables(table: voting_ref.KeyTable, n_model: int,
     dense_rank[occ_keys] = np.arange(k_occ, dtype=np.int32)
 
     # Coarse α_m bins via the same fixed-point quantization as the fast
-    # engine (consistency of bin edges between the two sides).
+    # engine (consistency of bin edges between the two sides) — f64 on
+    # host so the bin edges stay bit-identical across backends.
     a_fix = np.clip(np.round((pair_alpha.astype(np.float64) + math.pi)
                              * _ALPHA_SCALE), 0,
                     (1 << ALPHA_BITS) - 1).astype(np.int64)
@@ -108,13 +129,19 @@ def build_corr_tables(table: voting_ref.KeyTable, n_model: int,
     pair_key_rank = np.repeat(np.arange(k_occ, dtype=np.int64),
                               counts[occ_keys])
     n_pairs = pair_key_rank.shape[0]
-    m3 = np.zeros((k_occ + 1, n_angle, n_model), np.float32)
-    np.add.at(m3, (pair_key_rank, b_m[:n_pairs], pair_mr[:n_pairs]), 1.0)
-    m3_dup = np.concatenate([m3, m3], axis=1)        # (k_occ+1, 2n, n_m)
+    P = pair_mr.shape[0]
+    rank_idx = np.full((P,), k_occ + 1, np.int32)     # pad rows drop
+    rank_idx[:n_pairs] = pair_key_rank
+    col_idx = np.zeros((P,), np.int32)
+    col_idx[:n_pairs] = (b_m[:n_pairs] * n_model
+                         + pair_mr[:n_pairs].astype(np.int64))
+    m3_dup = _scatter_m3_device(
+        jnp.asarray(rank_idx), jnp.asarray(col_idx),
+        k1=k_occ + 1, n_angle=n_angle, n_model=n_model)
 
     return CorrTables(
         occ_keys=jnp.asarray(occ_dict),
-        m3_dup=jnp.asarray(m3_dup),
+        m3_dup=m3_dup,
         dense_rank=jnp.asarray(dense_rank),
         k_occ=k_occ, n_angle=n_angle)
 
@@ -169,12 +196,24 @@ def cast_votes_corr(scene_keys, scene_alpha, tables: CorrTables,
              jnp.full((S_pad - S,), ppf_ops.INVALID_KEY, jnp.int32)])
         ranks1 = jnp.arange(1, K_pad + 1, dtype=jnp.float32)
 
-        def one(kc):
-            onehot = (kc[:, None] == tables.occ_keys[None, :]) \
-                .astype(jnp.float32)
-            return jnp.dot(onehot, ranks1,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+        if jax.default_backend() == "tpu":
+            # Digit-split bf16 contraction (voting_fast.dict_digits_matmul):
+            # rank payloads <= K_pad <= 2048 fit ceil(log128) base-128
+            # digits, so ONE default-precision MXU pass is exact — vs 6
+            # passes for the HIGHEST f32 form below.
+            n_dig = max(1, math.ceil(math.log(K_pad + 1) / math.log(128)))
+
+            def one(kc):
+                return vf.dict_digits_matmul(
+                    kc, tables.occ_keys, ranks1[:, None], n_digits=n_dig
+                )[:, 0]
+        else:
+            def one(kc):
+                onehot = (kc[:, None] == tables.occ_keys[None, :]) \
+                    .astype(jnp.float32)
+                return jnp.dot(onehot, ranks1,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
         occ = jax.lax.map(one, keys_p.reshape(-1, chunk)).reshape(-1)[:S]
         occ = occ.astype(jnp.int32) - 1

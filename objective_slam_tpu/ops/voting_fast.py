@@ -70,6 +70,41 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def dict_digits_matmul(flat_keys, occ_keys, payloads, n_digits: int):
+    """Exact SINGLE-PASS bf16 dictionary matmul via 7-bit digit split.
+
+    The natural one-hot dictionary contraction carries integer payloads
+    past bf16's 8-bit mantissa, forcing Precision.HIGHEST (6 bf16 MXU
+    passes). Splitting each payload into base-128 digits makes EVERY
+    operand exactly representable in bf16 — one-hot entries are 0/1 and
+    digits are < 128 — and because the dictionary is injective (at most
+    one occ_keys entry equals any scene key) each output element is a
+    single matched entry's digit with no accumulation to lose precision
+    in. One default-precision pass is exact by construction and ~6x
+    cheaper on the MXU; recombination is an (S, n_digits) elementwise dot
+    against the 128-powers.
+
+    Args:
+      flat_keys: (S,) int32 scene keys.
+      occ_keys: (K_pad,) int32 dictionary (pad entries must match nothing).
+      payloads: (K_pad, P) f32 of NONNEGATIVE integers < 128**n_digits.
+      n_digits: base-128 digits covering the payload range.
+
+    Returns (S, P) f32, integer-valued; all-zero rows where no key matches
+    (so offset payloads by +1 when 0 is a real value)."""
+    K_pad, P = payloads.shape
+    digs = [jnp.floor(payloads / jnp.float32(128.0 ** d)) % 128.0
+            for d in range(n_digits)]
+    dig_tbl = jnp.concatenate(digs, axis=1).astype(jnp.bfloat16)
+    onehot = (flat_keys[:, None] == occ_keys[None, :]).astype(jnp.bfloat16)
+    out = jnp.dot(onehot, dig_tbl,
+                  preferred_element_type=jnp.float32)   # (S, n_digits*P)
+    out = out.reshape(flat_keys.shape[0], n_digits, P)
+    scale = (jnp.float32(128.0)
+             ** jnp.arange(n_digits, dtype=jnp.float32))[None, :, None]
+    return jnp.sum(out * scale, axis=1)
+
+
 @functools.partial(jax.tree_util.register_dataclass,
                    data_fields=["packed"], meta_fields=["height", "rot"])
 @dataclasses.dataclass(frozen=True)

@@ -395,3 +395,68 @@ def test_fast_engine_unpacked_fallback(rng):
     assert int(a.num_votes) == int(b.num_votes)
     np.testing.assert_array_equal(np.asarray(a.accumulator),
                                   np.asarray(b.accumulator))
+
+
+def test_build_corr_tables_m3_matches_host_histogram(rng):
+    """build_corr_tables scatters the multi-GB m3 histogram ON DEVICE
+    (shipping only P-sized index arrays across the host<->device link);
+    the result must equal the straightforward host-side numpy histogram
+    bin for bin, including the α_m fixed-point binning and the all-zero
+    unoccupied row."""
+    import math as _math
+
+    from objective_slam_tpu.ops import voting_corr
+
+    n_m, num_keys, n_angle = 37, 512, 30
+    keys = rng.integers(0, num_keys, size=(n_m, n_m)).astype(np.int32)
+    keys[rng.random((n_m, n_m)) < 0.15] = np.int32(ppf_ops.INVALID_KEY)
+    alpha = rng.uniform(-np.pi, np.pi, size=(n_m, n_m)).astype(np.float32)
+    table = voting.build_key_table(jnp.asarray(keys), jnp.asarray(alpha),
+                                   num_keys)
+    tabs = voting_corr.build_corr_tables(table, n_m, n_angle)
+
+    # Host golden: histogram over valid pairs only.
+    counts = np.asarray(table.counts)
+    pair_mr = np.asarray(table.pair_mr)
+    pair_alpha = np.asarray(table.pair_alpha)
+    occ = np.nonzero(counts)[0]
+    k_occ = len(occ)
+    rank = np.repeat(np.arange(k_occ), counts[occ])
+    n_pairs = rank.shape[0]
+    a_fix = np.clip(np.round((pair_alpha.astype(np.float64) + _math.pi)
+                             * voting_corr._ALPHA_SCALE), 0,
+                    (1 << voting_corr.ALPHA_BITS) - 1).astype(np.int64)
+    b_m = ((a_fix * n_angle) >> voting_corr.ALPHA_BITS).astype(np.int64)
+    m3 = np.zeros((k_occ + 1, n_angle, n_m), np.float32)
+    np.add.at(m3, (rank, b_m[:n_pairs], pair_mr[:n_pairs]), 1.0)
+
+    assert tabs.k_occ == k_occ
+    np.testing.assert_array_equal(
+        np.asarray(tabs.m3_dup), np.concatenate([m3, m3], axis=1))
+    np.testing.assert_array_equal(np.asarray(tabs.occ_keys)[:k_occ], occ)
+
+
+def test_dict_digits_matmul_generic_exact(rng):
+    """voting_fast.dict_digits_matmul (the single-pass bf16 digit-split
+    contraction both the block and correlation engines ride on TPU) is
+    bit-exact against a plain numpy dictionary lookup at the correlation
+    engine's operating point: K_pad = 2048 rank payloads (2 digits) and a
+    1-digit small table, with misses and INVALID_KEY inputs."""
+    from objective_slam_tpu.ops import voting_fast as vf
+
+    for k_pad, n_dig in ((2048, 2), (96, 1)):
+        keys = rng.choice(1 << 20, size=k_pad, replace=False).astype(np.int32)
+        # ranks offset by +1 so "miss" (all-zero row) is distinguishable.
+        payload = np.arange(1, k_pad + 1, dtype=np.float32)[:, None]
+        hits = rng.choice(keys, size=700).astype(np.int32)
+        misses = rng.choice(1 << 20, size=300).astype(np.int32)
+        invalid = np.full((24,), np.iinfo(np.int32).max, np.int32)
+        flat = np.concatenate([hits, misses, invalid])
+
+        out = np.asarray(vf.dict_digits_matmul(
+            jnp.asarray(flat), jnp.asarray(keys), jnp.asarray(payload),
+            n_digits=n_dig))[:, 0]
+
+        lut = {int(k): float(v) for k, v in zip(keys, payload[:, 0])}
+        want = np.float32([lut.get(int(k), 0.0) for k in flat])
+        np.testing.assert_array_equal(out, want)
