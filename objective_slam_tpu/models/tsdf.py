@@ -270,9 +270,14 @@ def extract_surface(volume: TSDFVolume, capacity: int = 4096,
                     iso_band: float = 0.5, normal_k: int = 12) -> Surface:
     """Surface voxels = observed cells whose |tsdf| < iso_band·voxel_size.
 
-    Normals: k-NN PCA over the extracted points (robust against the holes a
-    point-splat TSDF leaves in unobserved cells), oriented by the sign of
-    the central-difference TSDF gradient (KinFu's normal direction).
+    Normals: neighborhood PCA over the extracted points (robust against
+    the holes a point-splat TSDF leaves in unobserved cells), oriented by
+    the sign of the central-difference TSDF gradient (KinFu's normal
+    direction). Up to 8 192 points the exact k-NN estimator runs; above
+    that its n×n distance matrix stops fitting (81 920² f32 = 26 GB at
+    KinFu-scale volumes) and the O(n + grid) moment-grid estimator takes
+    over (leaf 2·voxel_size, 27-cell window ≈ the k-NN ball; the two are
+    cross-validated in tests/test_utils.py).
     Returns a static-capacity cloud (top-|tsdf|-smallest if over capacity)
     ready for the matcher — padding rows are pushed far away so they can
     never vote."""
@@ -301,7 +306,20 @@ def extract_surface(volume: TSDFVolume, capacity: int = 4096,
     grad_n = jnp.where(valid[:, None], normals.reshape(-1, 3)[idx], 0.0)
 
     from objective_slam_tpu.utils import pointcloud as _pc
-    knn_n = _pc.estimate_normals_knn(pts, k=normal_k)
+    if capacity <= 8192:
+        knn_n = _pc.estimate_normals_knn(pts, k=normal_k)
+    else:
+        # Pad rows sit in a grid corner the real surface can never reach:
+        # real points lie inside the volume bbox, the pad corner is 10
+        # leaves beyond it, and `dims_n` adds headroom cells, so the pads'
+        # moments never box-filter into a real point's window.
+        leaf = 2.0 * volume.voxel_size
+        extent = jnp.asarray(volume.dims, jnp.float32) * volume.voxel_size
+        pad_loc = volume.origin + extent + 10.0 * leaf
+        pts_n = jnp.where(valid[:, None], pts, pad_loc)
+        dims_n = tuple(int(d) // 2 + 14 for d in volume.dims)
+        knn_n = _pc.estimate_normals_grid(pts_n, leaf, dims=dims_n,
+                                          box_filter=True)
     flip = jnp.sum(knn_n * grad_n, axis=-1) < 0
     nrm = jnp.where(valid[:, None],
                     jnp.where(flip[:, None], -knn_n, knn_n), 0.0)

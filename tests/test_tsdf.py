@@ -35,6 +35,34 @@ def test_integrate_and_extract_sphere(rng):
     assert np.median(cos) > 0.9
 
 
+def test_extract_sphere_grid_normals_large_capacity(rng):
+    """capacity > 8192 switches normal estimation to the O(n + grid)
+    moment-grid path (the k-NN n×n distance matrix is 26 GB at KinFu-scale
+    extractions) — normals must still be radial and the pad rows must stay
+    masked, far, and harmless to real points' windows."""
+    vol = tsdf.make_volume(origin=(-1.5, -1.5, -1.5), dims=(96, 96, 96),
+                           voxel_size=1 / 32)
+    pts, nrm = _sphere_cloud(rng, 60_000, np.zeros(3), 1.0)
+    vol = tsdf.integrate(vol, pts, nrm)
+    occ = int(tsdf.surface_occupancy(vol))
+    assert occ > 8192                      # forces the grid-normal path
+    surf = tsdf.extract_surface(vol, capacity=16384)
+    assert not bool(surf.overflowed)
+    ok = np.asarray(surf.valid)
+    sp = np.asarray(surf.points)[ok]
+    sn = np.asarray(surf.normals)[ok]
+    radii = np.linalg.norm(sp, axis=1)
+    assert abs(np.median(radii) - 1.0) < 0.1
+    cos = np.abs(np.sum(sn * sp / radii[:, None], axis=1))
+    assert np.median(cos) > 0.9
+    # Oriented outward by the TSDF gradient, like the k-NN path.
+    assert np.median(np.sum(sn * sp, axis=1)) > 0
+    # Pads pushed far and zeroed.
+    far = np.asarray(surf.points)[~ok]
+    if len(far):
+        assert np.all(far < -1e6)
+
+
 def test_weighted_average_multiframe(rng):
     """Two identical frames must not change the fused tsdf (running
     average), and weights must add."""

@@ -72,7 +72,17 @@ def main(argv=None) -> int:
     ap.add_argument("--ks", type=str, default="2,4,6")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", type=str, default="/tmp/eval_instances.json")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default (TPU) backend; recognition "
+                         "rates are platform-independent, so the default "
+                         "is CPU — this image's sitecustomize imports jax "
+                         "at interpreter start, so JAX_PLATFORMS in the "
+                         "environment is silently ignored and the override "
+                         "must happen here, post-import")
     args = ap.parse_args(argv)
+    if not args.tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     ks = [int(x) for x in args.ks.split(",")]
     n_model_raw, n_total, n_inst_pts = 20_000, 80_000, 10_000
     if args.quick:

@@ -216,6 +216,14 @@ def main(argv=None) -> int:
                     help="'real' = laser-scanned skeleton meshes (skull/"
                          "pelvis/humerus/scapula from the dm_control "
                          "assets) instead of procedural geometry")
+    ap.add_argument("--run_name", type=str, default="run1",
+                    help="log subdirectory + summary suffix — lets config "
+                         "variants (rescoring, max_poses) run side by side "
+                         "against the same scenes (same --seed)")
+    ap.add_argument("--max_poses", type=int, default=1024)
+    ap.add_argument("--rescore", action="store_true",
+                    help="pass --rescore_poses true (geometric "
+                         "verification re-ranking of threshold survivors)")
     args = ap.parse_args(argv)
     if args.quick:
         args.scenes = 2
@@ -225,8 +233,9 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     out = Path(args.outdir)
-    run_dir = out / "run1"
+    run_dir = out / args.run_name
     run_dir.mkdir(parents=True, exist_ok=True)
+    sfx = "" if args.run_name == "run1" else f"_{args.run_name}"
 
     if args.models == "real":
         models, normals = build_models_real()
@@ -320,6 +329,8 @@ def main(argv=None) -> int:
                 *(["--engine", "correlation",
                    "--runs_cap", str(capacity * capacity // 4)]
                   if args.models == "real" else []),
+                "--max_poses", str(args.max_poses),
+                *(["--rescore_poses", "true"] if args.rescore else []),
                 "--validation_files", ",".join(tpaths),
                 "--loglevel", "info",
                 "--logfile", str(run_dir / f"rs{s + 1}_0.log"),
@@ -333,7 +344,7 @@ def main(argv=None) -> int:
 
     # The reference's analysis step, verbatim workflow.
     rcode = analyze_uwa.main([str(out / "occlusion.txt"), str(run_dir),
-                              "--plot", str(out / "uwa_analog")])
+                              "--plot", str(out / f"uwa_analog{sfx}")])
     assert rcode == 0
 
     data = analyze_uwa.read_occlusion_txt(out / "occlusion.txt")
@@ -388,12 +399,12 @@ def main(argv=None) -> int:
                   f"({args.scenes} scenes x {len(names)} models)")
         plt.ylim(-5, 105)
         plt.grid(alpha=0.3)
-        plt.savefig(out / "uwa_analog_rate.png", dpi=120,
+        plt.savefig(out / f"uwa_analog{sfx}_rate.png", dpi=120,
                     bbox_inches="tight")
-        print(f"wrote {out / 'uwa_analog_rate.png'}", file=sys.stderr)
+        print(f"wrote {out / f'uwa_analog{sfx}_rate.png'}", file=sys.stderr)
     except ImportError:
         pass
-    (out / "summary.json").write_text(json.dumps(summary, indent=1))
+    (out / f"summary{sfx}.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary, indent=1))
     return 0
 

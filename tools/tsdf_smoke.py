@@ -5,7 +5,15 @@ a plane) into a 256³ voxel volume with the sensor-model update (free-space
 carving), raycasts a tracking view (trilinear), extracts the surface with
 capacity-from-occupancy, and recognizes the object on the fused geometry.
 
-Prints one JSON line with per-stage timings and the recognition result.
+The model description is built through the SAME sensing pipeline (the
+model fused into its own TSDF volume at the same voxel size, surface
+extracted) so both sides share sampling density and normal convention —
+the requirement every TSDF recognition test documents
+(tests/test_tsdf.py:53-85): matching raw mesh vertices against a fused
+surface mismatches both density and normal smoothing and loses the pose.
+
+Prints one JSON line with per-stage timings (cold = first call incl. XLA
+compile, warm = steady-state) and the recognition result.
 Run on the TPU: python tools/tsdf_smoke.py [--dims 256] [--frames 8]
 """
 
@@ -33,16 +41,18 @@ def main(argv=None) -> int:
     import jax
     import objective_slam_tpu as ost
     from objective_slam_tpu.config import PPFConfig
-    from objective_slam_tpu.models import tsdf
+    from objective_slam_tpu.models import drost, tsdf
     from objective_slam_tpu.ops import transforms as tr
     from objective_slam_tpu.utils import pointcloud as pc, synthetic
 
     rng = np.random.default_rng(0)
     verts, faces = synthetic.bumpy_mesh(subdiv=4, bumps=0.35)
-    nrm = pc.mesh_vertex_normals(verts, faces)
-    # Object sits at the volume center; a ground plane below.
-    obj = verts + np.float32([0, 0, 1.0])
-    u = rng.uniform(-2.2, 2.2, size=(20000, 2)).astype(np.float32)
+    # Dense area-uniform surface samples: the raw 2.5k vertices leave the
+    # rendered depth images ~15% filled (pinholes) at 240² — a real sensor
+    # returns a dense grid, so sample the mesh like one.
+    mp, mn = pc.sample_mesh_surface(verts, faces, 40_000, rng)
+    obj = mp + np.float32([0, 0, 1.0])
+    u = rng.uniform(-2.2, 2.2, size=(40_000, 2)).astype(np.float32)
     plane = np.concatenate([u, np.full((len(u), 1), -1.05, np.float32)],
                            axis=1)
     world = np.concatenate([obj, plane]).astype(np.float32)
@@ -51,9 +61,27 @@ def main(argv=None) -> int:
     vs = 5.0 / D                                    # 5 m cube -> 2 cm @256
     vol = tsdf.make_volume(origin=(-2.5, -2.5, -1.5), dims=(D, D, D),
                            voxel_size=vs)
-    rec = tsdf.StreamingRecognizer(vol, PPFConfig(
-        max_poses=512, ref_point_df=2, refine_icp=True, icp_iterations=8))
-    desc = ost.build_model_description(verts, nrm, PPFConfig())
+    cfg = PPFConfig(max_poses=512, ref_point_df=2, refine_icp=True,
+                    icp_iterations=8)
+    rec = tsdf.StreamingRecognizer(vol, cfg)
+
+    # Model description through the sensing pipeline: fuse the model into
+    # its own volume at the SAME voxel size, extract, describe.
+    lo, hi = mp.min(axis=0) - 0.2, mp.max(axis=0) + 0.2
+    md = int(np.ceil(float((hi - lo).max()) / vs / 8.0)) * 8
+    mvol = tsdf.make_volume(origin=lo, dims=(md, md, md), voxel_size=vs)
+    mvol = tsdf.integrate(mvol, mp, mn)
+    msurf = tsdf.extract_surface(
+        mvol, drost._next_cap(max(int(tsdf.surface_occupancy(mvol)), 1024)))
+    mok = np.asarray(msurf.valid)
+    fp = np.asarray(msurf.points)[mok]
+    fn = np.asarray(msurf.normals)[mok]
+    # d_dist-filter the fused model surface before describing it (the CLI's
+    # model path, cli.py:266-268) — describing the raw voxel-resolution
+    # surface is ~25k points = 0.6G pairwise PPFs.
+    d_dist = cfg.tau_d * float(pc.bbox_diameter(fp))
+    fp, fn = pc.voxel_downsample_np(fp, fn, d_dist)
+    desc = ost.build_model_description(fp, fn, cfg)
     rec.register_model("blob", desc)
 
     h = w = args.img
@@ -69,24 +97,40 @@ def main(argv=None) -> int:
         jax.block_until_ready(rec.volume.tsdf)
         t_int.append(time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
+    def timed(fn):
+        t0 = time.perf_counter()
+        cold = fn()
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        warm = fn()
+        return warm, 1e3 * t_cold, 1e3 * (time.perf_counter() - t0)
+
     occ = int(tsdf.surface_occupancy(rec.volume))
-    surf = rec.surface()
-    jax.block_until_ready(surf.points)
-    t_surf = time.perf_counter() - t0
+
+    def do_surface():
+        s = rec.surface()
+        jax.block_until_ready(s.points)
+        return s
+
+    surf, t_surf_cold, t_surf = timed(do_surface)
     assert not bool(surf.overflowed), "capacity-from-occupancy overflowed"
 
-    t0 = time.perf_counter()
     T_wc = np.linalg.inv(synthetic.look_at(
         np.float32([3.2, 0, 1.6]), (0, 0, 0.5)))
-    view = tsdf.raycast_depth(rec.volume, intr, T_wc, (h, w))
-    jax.block_until_ready(view)
-    t_ray = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    out = rec.recognize()["blob"]
-    jax.block_until_ready(out.pose)
-    t_match = time.perf_counter() - t0
+    def do_ray():
+        view = tsdf.raycast_depth(rec.volume, intr, T_wc, (h, w))
+        jax.block_until_ready(view)
+        return view
+
+    _, t_ray_cold, t_ray = timed(do_ray)
+
+    def do_match():
+        out = rec.recognize()["blob"]
+        jax.block_until_ready(out.pose)
+        return out
+
+    out, t_match_cold, t_match = timed(do_match)
     T_true = np.eye(4, dtype=np.float32)
     T_true[:3, 3] = [0, 0, 1.0]
     td, rd = (float(x) for x in tr.ht_dist(np.asarray(out.pose), T_true))
@@ -95,9 +139,9 @@ def main(argv=None) -> int:
         "integrate_ms_per_frame": 1e3 * float(np.mean(t_int[1:])),
         "surface_occupancy": occ,
         "surface_capacity_used": int(surf.points.shape[0]),
-        "extract_ms": 1e3 * t_surf,
-        "raycast_ms": 1e3 * t_ray,
-        "recognize_ms": 1e3 * t_match,
+        "extract_ms": t_surf, "extract_ms_cold": t_surf_cold,
+        "raycast_ms": t_ray, "raycast_ms_cold": t_ray_cold,
+        "recognize_ms": t_match, "recognize_ms_cold": t_match_cold,
         "trans_err": td, "rot_err_deg": math.degrees(rd),
         "match": bool(td < 0.1 * desc.diameter and rd < math.radians(12)),
     }))
