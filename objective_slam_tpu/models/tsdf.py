@@ -170,14 +170,46 @@ def integrate_depth(volume: TSDFVolume, depth, intrinsics, T_cw,
     return dataclasses.replace(volume, tsdf=t_new, weight=w_new)
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "n_steps"))
+@functools.partial(jax.jit,
+                   static_argnames=("shape", "n_steps", "fine_steps"))
 def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
                   t_near: float = 0.1, t_far: float = 6.0,
-                  n_steps: int = 192):
+                  n_steps: int = 192, fine_steps: int = 24):
     """Synthesize a depth map from the volume (KinFu's raycast view):
-    per-pixel fixed-step march along the camera ray; depth = first
+    per-pixel coarse-to-fine march along the camera ray; depth = first
     positive→negative TSDF zero crossing, linearly interpolated. Returns
     (h, w) float32 depth; 0 where no crossing.
+
+    Gathers are the cost here (~10 ns/element on this chip): a trilinear
+    sample is 16 of them per pixel per step, so marching all n_steps
+    trilinearly costs n_steps·16. Instead the coarse march brackets the
+    crossing with NEAREST reads (1 gather/step) of a 3³-MIN-POOLED
+    observed-TSDF field: the pooled field is negative wherever ANY voxel
+    of a trilinear neighborhood is, so its first sub-zero sample is a
+    CONSERVATIVE bracket — it fires at or slightly before every point
+    where the trilinear field could cross (including silhouette-grazing
+    rays and half-observed neighborhoods that a plain nearest read calls
+    empty). `fine_steps` TRILINEAR samples over [bracket − dt,
+    bracket + 9·dt] then decide: the first interpolated zero crossing in
+    the window is the depth, and a bracket with no trilinear crossing
+    (a graze) returns 0. The long forward reach matters: at grazing
+    incidence θ the ray enters the pool's √3·voxel_size shell
+    ~√3·voxel_size/cos θ before actually crossing, so the window covers
+    incidence up to ~arccos(√3·voxel_size/(9·dt)) (~79° at the defaults
+    on a 5–6 m volume). n_steps·1 + fine_steps·16 ≈ 5x fewer gathers at
+    the defaults, with ~2x finer crossing resolution than the
+    all-trilinear march (window/fine_steps ≈ dt/2).
+
+    Semantics vs the dense march: identical first-crossing depths, except
+    (a) rays beyond the grazing-incidence bound above (a sub-pixel
+    silhouette ring) and (b) rays that graze within one voxel of a CLOSER
+    surface and then hit a farther one more than 9·dt later — both read 0
+    instead of the surface depth.
+
+    The coarse step dt = (t_far−t_near)/n_steps must stay below the
+    truncation band (default 3·voxel_size) or thin surfaces can be
+    stepped over — the defaults satisfy this for ≥128³ volumes of
+    typical extent.
 
     T_wc: (4, 4) CAMERA→WORLD transform (inverse of integrate_depth's)."""
     h, w = shape
@@ -197,12 +229,45 @@ def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
     ts = jnp.linspace(t_near, t_far, n_steps).astype(jnp.float32)
     dt = ts[1] - ts[0]
 
-    def sample(t_scalar):
+    # Observed-TSDF field: weight validity folded in once (elementwise),
+    # so the coarse march needs ONE gather per sample. The 3³ min-pool
+    # (three separable width-3 passes — dense elementwise, no gathers)
+    # makes the coarse field a conservative lower envelope of every
+    # trilinear neighborhood.
+    c_field = jnp.where(volume.weight > 0.0, volume.tsdf,
+                        jnp.float32(volume.truncation))
+    for ax in range(3):
+        pad = [(1, 1) if i == ax else (0, 0) for i in range(3)]
+        p = jnp.pad(c_field, pad,
+                    constant_values=jnp.float32(volume.truncation))
+        n_ax = c_field.shape[ax]
+        lo = jax.lax.slice_in_dim(p, 0, n_ax, axis=ax)
+        hi = jax.lax.slice_in_dim(p, 2, n_ax + 2, axis=ax)
+        c_field = jnp.minimum(c_field, jnp.minimum(lo, hi))
+
+    def pos_of(t):
+        """Ray points at per-pixel (or scalar) parameter t, in grid
+        coordinates."""
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (h, w))
+        return (org_w + dirs_w * t[..., None] - volume.origin) \
+            / volume.voxel_size - 0.5                        # (h, w, 3)
+
+    def coarse_sample(t):
+        pos = pos_of(t)
+        idx = jnp.round(pos).astype(jnp.int32)
+        inside = ((idx[..., 0] >= 0) & (idx[..., 0] < D)
+                  & (idx[..., 1] >= 0) & (idx[..., 1] < H)
+                  & (idx[..., 2] >= 0) & (idx[..., 2] < W))
+        v = c_field[jnp.clip(idx[..., 0], 0, D - 1),
+                    jnp.clip(idx[..., 1], 0, H - 1),
+                    jnp.clip(idx[..., 2], 0, W - 1)]
+        return jnp.where(inside, v, jnp.float32(volume.truncation))
+
+    def sample(t):
         """TRILINEAR TSDF sample at ray positions (KinFu interpolates the
         field when locating the crossing — nearest-voxel reads quantize
         the recovered depth to the voxel grid, ~0.5·voxel_size RMS)."""
-        pos = (org_w + dirs_w * t_scalar - volume.origin) \
-            / volume.voxel_size - 0.5                        # (h, w, 3)
+        pos = pos_of(t)
         base = jnp.floor(pos).astype(jnp.int32)
         frac = pos - base.astype(jnp.float32)
         val = jnp.zeros(pos.shape[:2], jnp.float32)
@@ -230,19 +295,44 @@ def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
         return jnp.where(wsum > 0.5, val / jnp.maximum(wsum, 1e-9),
                          jnp.float32(volume.truncation))
 
-    def step(carry, t_scalar):
+    # Coarse march: bracket the FIRST sub-zero sample of the min-pooled
+    # field. t_hit records the segment START (prev_t). The pooled field is
+    # ≤ every voxel a trilinear neighborhood reads, so the true trilinear
+    # crossing (if any) lies at or after this bracket, within the pool
+    # reach (√3·voxel_size) plus one step.
+    def cstep(carry, t_scalar):
+        prev_t, prev_v, t_hit = carry
+        v_now = coarse_sample(t_scalar)
+        crossed = (prev_v > 0) & (v_now <= 0) & (t_hit == 0.0)
+        t_hit = jnp.where(crossed, prev_t, t_hit)
+        return (t_scalar, v_now, t_hit), None
+
+    init = (jnp.float32(t_near), coarse_sample(jnp.float32(t_near)),
+            jnp.zeros((h, w), jnp.float32))
+    (_, _, t_hit), _ = jax.lax.scan(cstep, init, ts[1:])
+    found = t_hit > 0.0
+
+    # Fine trilinear refinement over [t_hit − dt, t_hit + 9·dt]: the long
+    # asymmetric forward reach covers the conservative bracket's early
+    # fire at grazing incidence (see docstring); one step of back slack
+    # absorbs the step quantization of the bracket itself.
+    offs = jnp.linspace(-dt, 9.0 * dt, fine_steps).astype(jnp.float32)
+    t0 = jnp.where(found, t_hit, jnp.float32(t_near))
+
+    def fstep(carry, off):
         prev_t, prev_v, hit_depth = carry
-        v_now = sample(t_scalar)
+        t_now = t0 + off
+        v_now = sample(t_now)
         crossed = (prev_v > 0) & (v_now <= 0) & (hit_depth == 0.0)
         frac = prev_v / jnp.maximum(prev_v - v_now, 1e-9)
-        d_hit = prev_t + frac * dt
+        d_hit = prev_t + frac * (t_now - prev_t)
         hit_depth = jnp.where(crossed, d_hit, hit_depth)
-        return (t_scalar, v_now, hit_depth), None
+        return (t_now, v_now, hit_depth), None
 
-    init = (jnp.float32(t_near), sample(jnp.float32(t_near)),
-            jnp.zeros((h, w), jnp.float32))
-    (_, _, hit), _ = jax.lax.scan(step, init, ts[1:])
-    return hit
+    finit = (t0 + offs[0], sample(t0 + offs[0]),
+             jnp.zeros((h, w), jnp.float32))
+    (_, _, hit), _ = jax.lax.scan(fstep, finit, offs[1:])
+    return jnp.where(found, hit, 0.0)
 
 
 class Surface(NamedTuple):
