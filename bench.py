@@ -358,7 +358,15 @@ def main():
     vis_occ = int(pc.voxel_downsample(
         vis_p, np.zeros_like(vis_p), scene_leaf,
         capacity=len(vis_p)).num_voxels)
-    vis_cap = ((int(vis_occ * 1.05) + 127) // 128) * 128
+    # 15% headroom like every other static capacity in this file (CLAUDE.md
+    # rule), and the dropped flag is CHECKED below on the most-jittered
+    # input — an overflow silently merges the tail into one garbage cell.
+    vis_cap = ((int(vis_occ * 1.15) + 127) // 128) * 128
+    vox_chk = pc.voxel_downsample(
+        vis_p + np.float32(REPS * 1e-6), np.zeros_like(vis_p),
+        scene_leaf, capacity=vis_cap)
+    assert not bool(vox_chk.dropped), \
+        f"est-normals voxel capacity {vis_cap} overflowed"
     tE, rE, gE = _count_votes(
         desc_est, *(lambda v: (v.points, v.normals))(
             pc.voxel_downsample(vis_p, np.asarray(est_normals(vis_p)),

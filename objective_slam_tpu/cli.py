@@ -240,6 +240,10 @@ def _run(args) -> int:
     # Downsample (alignment.cpp:259-288).
     log.info("Downsampling...")
     ds_scenes = []
+    viz_scenes = []     # pad-free twins: --scene_capacity pads ds_scenes
+                        # with far-sentinel rows (lo − 1e7) that must never
+                        # reach the PLY/PNG/HTML export — they blow the
+                        # viewer's bounding box out by 1e7.
     for sp, sn in scene_clouds:
         log.info("Scene size before filtering: %d", len(sp))
         if args.scene_capacity > 0:
@@ -255,11 +259,14 @@ def _run(args) -> int:
             sn2 = np.asarray(vox.normals)
             log.info("Scene size after filtering: %d (padded to %d)",
                      int(vox.num_voxels), args.scene_capacity)
+            nv = int(vox.num_voxels)
+            viz_scenes.append((sp2[:nv], sn2[:nv]))
         else:
             sp2, sn2 = pc.voxel_downsample_np(
                 sp, sn, args.scene_leaf_size,
                 normal_aware=args.normal_aware_downsample)
             log.info("Scene size after filtering: %d", len(sp2))
+            viz_scenes.append((sp2, sn2))
         ds_scenes.append((sp2, sn2))
     ds_models = []
     for (mp, mn), dd in zip(model_clouds, model_d_dists):
@@ -317,7 +324,7 @@ def _run(args) -> int:
                 print(int(v.match))
 
     if args.visualize:
-        _export_visualization(args, ds_scenes, ds_models, out.poses)
+        _export_visualization(args, viz_scenes, ds_models, out.poses)
     return 0
 
 

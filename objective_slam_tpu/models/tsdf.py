@@ -300,17 +300,20 @@ def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
     # ≤ every voxel a trilinear neighborhood reads, so the true trilinear
     # crossing (if any) lies at or after this bracket, within the pool
     # reach (√3·voxel_size) plus one step.
+    # Not-found sentinel is −1, NOT 0: with t_near = 0.0 a first-segment
+    # crossing records prev_t == 0.0, which a zero sentinel would read as
+    # "no bracket".
     def cstep(carry, t_scalar):
         prev_t, prev_v, t_hit = carry
         v_now = coarse_sample(t_scalar)
-        crossed = (prev_v > 0) & (v_now <= 0) & (t_hit == 0.0)
+        crossed = (prev_v > 0) & (v_now <= 0) & (t_hit < 0.0)
         t_hit = jnp.where(crossed, prev_t, t_hit)
         return (t_scalar, v_now, t_hit), None
 
     init = (jnp.float32(t_near), coarse_sample(jnp.float32(t_near)),
-            jnp.zeros((h, w), jnp.float32))
+            jnp.full((h, w), -1.0, jnp.float32))
     (_, _, t_hit), _ = jax.lax.scan(cstep, init, ts[1:])
-    found = t_hit > 0.0
+    found = t_hit >= 0.0
 
     # Fine trilinear refinement over [t_hit − dt, t_hit + 9·dt]: the long
     # asymmetric forward reach covers the conservative bracket's early

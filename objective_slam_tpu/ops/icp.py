@@ -87,6 +87,15 @@ def refine_pose(model_points, scene_points, init_pose, *,
     """
     if point_to_plane is None:
         point_to_plane = scene_normals is not None
+    if point_to_plane and scene_normals is None:
+        # Previously traced into a NameError deep inside the plane solver;
+        # fail at the API boundary instead (hit when config.icp_point_to_
+        # plane is set but the caller passes icp_points without
+        # icp_normals).
+        raise ValueError(
+            "point-to-plane ICP requires scene_normals for the ICP cloud; "
+            "pass them (icp_normals= at the match level) or use the "
+            "point-to-point solver")
     m = jnp.asarray(model_points, jnp.float32)
     s = jnp.asarray(scene_points, jnp.float32)
     T0 = jnp.asarray(init_pose, jnp.float32)

@@ -410,6 +410,22 @@ def _expand(scene_keys, scene_alpha, tables: BlockTables, vote_cap: int,
             row_cap, total_rows_p)
 
 
+def _chunk_row_map(r_of_chunk_start, R, chunk_rows, n_chunks):
+    """chunk → owning reference row (row starts are chunk-aligned by
+    construction: scatter each row id at its first chunk + cummax).
+
+    NO clipping of the scatter index: an empty TRAILING reference row
+    whose start equals a full buffer's end (row_start_p == row_cap, i.e.
+    start chunk == n_chunks) must DROP out of the map — clipping it to
+    n_chunks − 1 used to claim the last data chunk for the empty row,
+    silently mis-crediting that chunk's tallies whenever vote_cap was
+    sized exactly full."""
+    start_chunk = r_of_chunk_start // chunk_rows         # in [0, n_chunks]
+    cmap = jnp.zeros((n_chunks,), jnp.int32).at[start_chunk].max(
+        jnp.arange(R, dtype=jnp.int32), mode="drop")
+    return jax.lax.cummax(cmap, axis=0), start_chunk
+
+
 def _unpack_bin(pp_i32, a_s, n_angle):
     """In-register unpack + integer α binning (bit-equal to voting_fast:
     bin = ((α_s − α_m + 2²¹) mod 2²²) · n_angle >> 22)."""
@@ -461,13 +477,8 @@ def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
 
         ppg = ppv.reshape(n_chunks, n_grp, K)
 
-        # chunk → owning reference row (row starts are chunk-aligned by
-        # construction: scatter each row id at its first chunk + cummax).
-        start_chunk = jnp.clip(r_of_chunk_start // chunk_rows, 0,
-                               n_chunks - 1)
-        cmap = jnp.zeros((n_chunks,), jnp.int32).at[start_chunk].max(
-            jnp.arange(R, dtype=jnp.int32), mode="drop")
-        cmap = jax.lax.cummax(cmap, axis=0)
+        cmap, start_chunk = _chunk_row_map(r_of_chunk_start, R,
+                                           chunk_rows, n_chunks)
         if total_rows_p is None:
             live = jnp.full((1,), n_chunks, jnp.int32)
         else:

@@ -159,3 +159,16 @@ def test_correlation_roundtrip(tmp_path, rng):
         mp, mn, PPFConfig(max_poses=128, engine="fast"))
     with pytest.raises(ValueError, match="corr_tables"):
         ost.match(desc_fast, sp, sn, cfg)
+
+
+def test_point_to_plane_without_normals_raises(rng):
+    """Requesting the point-to-plane solver without scene normals for the
+    ICP cloud must fail loudly at the API boundary (used to trace into a
+    NameError deep inside the plane solve)."""
+    import pytest
+
+    mp, mn = synthetic.blob_cloud(rng, 50)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    with pytest.raises(ValueError, match="point-to-plane"):
+        icp.refine_pose(mp, sp, np.eye(4, dtype=np.float32),
+                        max_dist=0.3, point_to_plane=True)

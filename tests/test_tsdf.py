@@ -275,3 +275,25 @@ def test_streaming_recognizer_depth_frames(rng):
     v = validation.validate_pose(np.asarray(res.pose), T_true,
                                  desc.diameter, cfg)
     assert v.match, (v.trans_err, math.degrees(v.rot_err))
+
+
+def test_raycast_t_near_zero_first_segment(rng):
+    """t_near = 0.0 with a surface crossed in the FIRST coarse segment:
+    the bracket records prev_t == 0.0, which a zero not-found sentinel
+    (the pre-fix encoding) would discard, zeroing genuine hits."""
+    vol = tsdf.make_volume(origin=(-1.0, -1.0, -1.0), dims=(40, 40, 40),
+                           voxel_size=0.05)
+    pts, nrm = _sphere_cloud(rng, 12000, np.zeros(3), 0.6)
+    vol = tsdf.integrate(vol, pts, nrm)
+    # Camera just outside the sphere looking at the center: the surface
+    # sits ~0.05-0.1 m ahead, inside the first coarse segments of a
+    # t_near=0 march with a short t_far.
+    eye = np.float32([0.68, 0.0, 0.0])
+    T_cw = synthetic.look_at(eye, (0.0, 0.0, 0.0))
+    intr = (60.0, 60.0, 31.5, 31.5)
+    view = np.asarray(tsdf.raycast_depth(
+        vol, intr, np.linalg.inv(T_cw), (64, 64),
+        t_near=0.0, t_far=2.0, n_steps=64))
+    c = view[32, 32]
+    assert c > 0, "central ray lost despite crossing in the first segments"
+    assert abs(c - 0.08) < 0.08, c   # eye is 0.08 outside the surface

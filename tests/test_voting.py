@@ -460,3 +460,18 @@ def test_dict_digits_matmul_generic_exact(rng):
         lut = {int(k): float(v) for k, v in zip(keys, payload[:, 0])}
         want = np.float32([lut.get(int(k), 0.0) for k in flat])
         np.testing.assert_array_equal(out, want)
+
+
+def test_saturating_total_many_rows_no_wrap():
+    """saturating_total at reference-row counts past 32768 (a 100k-point
+    scene at ref_point_df=1): the lo-limb int32 sum used to wrap and
+    return garbage instead of either the exact total or the sentinel."""
+    # 100k rows of 20k votes → exact total 2.0e9 < 2^31: must be EXACT.
+    rows = jnp.full((100_000,), 20_000, jnp.int32)
+    assert int(voting.saturating_total(rows)) == 2_000_000_000
+    # 150k rows of 20k → 3.0e9 ≥ 2^31: must saturate to INT32_MAX.
+    rows = jnp.full((150_000,), 20_000, jnp.int32)
+    assert int(voting.saturating_total(rows)) == 2 ** 31 - 1
+    # Small-case exactness unchanged.
+    rows = jnp.asarray([0, 1, 65535, 65536, 123456], jnp.int32)
+    assert int(voting.saturating_total(rows)) == 254528

@@ -160,3 +160,66 @@ def test_dict_match_digits_exact(rng):
     cnt_r, brs_r = voting_block._dict_match(flat, bt)
     np.testing.assert_array_equal(np.asarray(cnt_d), np.asarray(cnt_r))
     np.testing.assert_array_equal(np.asarray(brs_d), np.asarray(brs_r))
+
+
+def test_chunk_row_map_full_buffer_empty_trailing_row():
+    """The exactly-full-buffer corner: an empty trailing reference row's
+    start chunk equals n_chunks (one past the end). It must DROP from the
+    chunk→row map — the pre-fix clip to n_chunks − 1 credited the last
+    data chunk to the empty row, silently corrupting its tallies (TPU
+    kernel output routing; bit-equality invariant)."""
+    chunk_rows, n_chunks = 4, 4
+    # Row 0 owns all 16 vote rows (chunks 0-3); row 1 is empty and starts
+    # at row 16 == row_cap.
+    r_of_chunk_start = jnp.asarray([0, 16], jnp.int32)
+    cmap, start_chunk = voting_block._chunk_row_map(
+        r_of_chunk_start, R=2, chunk_rows=chunk_rows, n_chunks=n_chunks)
+    np.testing.assert_array_equal(np.asarray(start_chunk), [0, 4])
+    # Every chunk belongs to row 0; none to the empty row 1.
+    np.testing.assert_array_equal(np.asarray(cmap), [0, 0, 0, 0])
+    # Empty MIDDLE row: rows 0 and 1 share start chunk 0 (row 0 empty),
+    # row 1 owns chunks 0-1, row 2 owns 2-3.
+    cmap2, _ = voting_block._chunk_row_map(
+        jnp.asarray([0, 0, 8], jnp.int32), R=3, chunk_rows=chunk_rows,
+        n_chunks=n_chunks)
+    np.testing.assert_array_equal(np.asarray(cmap2), [1, 1, 2, 2])
+
+
+def test_block_exact_full_vote_cap_bit_equal(rng):
+    """End-to-end guard for the same corner on the XLA twin: size vote_cap
+    EXACTLY to the expansion's total padded rows, with the last reference
+    row contributing zero votes, and require bit-equal tallies vs the
+    readable engine."""
+    n_m, n_s, num_keys = 40, 36, 4096
+    mkeys = rng.integers(0, num_keys, size=(n_m, n_m)).astype(np.int32)
+    malpha = rng.uniform(-math.pi, math.pi, size=(n_m, n_m)) \
+        .astype(np.float32)
+    table = voting.build_key_table(jnp.asarray(mkeys), jnp.asarray(malpha),
+                                   num_keys)
+    tables = voting_block.build_block_tables(table)
+    skeys = rng.integers(0, num_keys, size=(n_s, n_s)).astype(np.int32)
+    skeys[-1, :] = ppf_ops.INVALID_KEY          # empty trailing ref row
+    salpha = rng.uniform(-math.pi, math.pi, size=(n_s, n_s)) \
+        .astype(np.float32)
+    d_angle = 2.0 * math.pi / 30.0
+
+    # Probe the exact padded row count with a generous cap, then re-run
+    # with vote_cap sized exactly full.
+    probe = voting_block._expand(jnp.asarray(skeys), jnp.asarray(salpha),
+                                 tables, vote_cap=1 << 20,
+                                 chunk_rows=voting_block.CHUNK_ROWS)
+    total_rows_p = int(probe[6])
+    assert total_rows_p % voting_block.CHUNK_ROWS == 0
+    vote_cap = total_rows_p * voting_block.LANES
+
+    res = voting_block.cast_votes_block(
+        jnp.asarray(skeys), jnp.asarray(salpha), tables, n_m, d_angle,
+        vote_cap=vote_cap)
+    assert not bool(res.overflowed)
+    ref = voting.cast_votes(jnp.asarray(skeys), jnp.asarray(salpha), table,
+                            n_m, d_angle, vote_cap=1 << 20)
+    assert int(res.num_votes) == int(ref.num_votes)
+    np.testing.assert_array_equal(np.asarray(res.accumulator),
+                                  np.asarray(ref.accumulator))
+    # The empty trailing row's tallies must be all-zero.
+    assert int(np.asarray(res.accumulator)[-1].sum()) == 0
