@@ -88,6 +88,28 @@ def test_cli_visualize_export(scene_fixture, tmp_path, capsys):
     assert "model0@scene0" in html and "getContext" in html
 
 
+def test_cli_visualize_with_scene_capacity_pad_free(scene_fixture, tmp_path,
+                                                    capsys):
+    """--scene_capacity pads ds_scenes with far-sentinel rows (lo - 1e7);
+    the visualization export must use the pad-free cloud or the viewer's
+    bounding box blows out by 1e7 (regression for the round-3 fix)."""
+    model, scene, _ = scene_fixture
+    vis = tmp_path / "vis_cap"
+    rc, _ = _run([
+        "--scene_files", str(scene), "--model_files", str(model),
+        "--tau_d", "0.1", "--scene_leaf_size", "0.05",
+        "--scene_capacity", "4096",
+        "--visualize", "true", "--visualize_out", str(vis),
+    ], capsys)
+    assert rc == 0
+    out_ply = ply.read_ply(str(vis) + ".ply")
+    # Scene was ~unit-scale: no exported point may carry the 1e7 sentinel,
+    # and the padded rows must not appear at all (count < capacity).
+    assert out_ply.points.shape[0] > 0
+    assert out_ply.points.shape[0] < 4096
+    assert np.all(np.abs(out_ply.points) < 1e3)
+
+
 def test_cli_missing_normals_estimation(tmp_path, rng, capsys):
     mp, mn = synthetic.blob_cloud(rng, 90)
     sp, _, T_true = synthetic.plant_model(rng, mp, mn)
