@@ -23,10 +23,11 @@ Pipeline (all static shapes):
     next head — pad rows/slots are handled by pair-table sentinels, not
     masks)
   pair rows ──ONE row gather──> (ROW_CAP, 128) packed (m << 22 | α_m_fix)
-  Pallas tally: per 64-row chunk, in-register unpack + integer α-binning
-    (identical fixed-point formula to voting_fast — tallies are bit-equal)
-    + one-hot MXU accumulate at full systolic width (H·32 narrow side),
-    written DIRECTLY into the per-reference-row accumulator via a
+    ──fused XLA precode (integer α-binning, identical fixed-point formula
+    to voting_fast — tallies are bit-equal)──> packed one-hot codes
+  Pallas tally: per 64-row chunk, TWO iota compares per slot build the
+    one-hot operands + MXU accumulate at full systolic width (H·32 narrow
+    side), written DIRECTLY into the per-reference-row accumulator via a
     scalar-prefetched chunk→row output map.
 
 Replaces the role of ppf_vote_count_kernel + ppf_vote_kernel + vote
@@ -438,6 +439,29 @@ def _unpack_bin(pp_i32, a_s, n_angle):
     return m, a_bin
 
 
+def _precode(pp_i32, alpha_row, n_angle):
+    """Packed one-hot codes for the tally kernel, computed ONCE in XLA.
+
+    code = ((m_hi · ALPHA_PAD + a_bin) << 7) | m_lo  (< 2^15), so the
+    Pallas kernel's one-hot generation collapses to exactly TWO iota
+    compares per slot — a 128-row wide operand from the low 7 bits and an
+    (H · ALPHA_PAD)-row narrow operand from the high bits — instead of the
+    previous in-kernel α broadcast loop + per-h masking (~540 VPU ops per
+    slot, the measured round-3 tally bottleneck). This pass is elementwise
+    over the gathered vote rows, so XLA fuses it into the row gather's
+    consumer; α never enters the kernel.
+
+    Sentinel slots (0xFFFFFFFF) decode to m_hi = 7, m_lo = 127: for models
+    with H < 8 the narrow code ≥ H·ALPHA_PAD misses the one-hot entirely;
+    at H = 8 it tallies into reserved column 1023, which the accumulator
+    slice discards (the build gate keeps n_m < 2^M_BITS strictly) —
+    bit-identical to the previous per-h masked form."""
+    m, a_bin = _unpack_bin(pp_i32, alpha_row[:, None], n_angle)
+    m_lo = m & 127
+    m_hi = jax.lax.shift_right_logical(m, 7)
+    return ((m_hi * voting_ref.ALPHA_PAD + a_bin) << 7) | m_lo
+
+
 def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
            d_angle, chunk_rows, row_cap, total_rows_p=None):
     """Fused unpack + α-bin + one-hot MXU tally, accumulated DIRECTLY into
@@ -451,10 +475,13 @@ def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
     count (capacity slack) are predicated off, so over-sizing vote_cap
     costs DMA only, not MXU work.
 
-    Per group, the H per-128-model-point α one-hots are CONCATENATED into
-    one (H·A, K) narrow operand so the MXU contraction runs at N = H·A
-    instead of H separate N = 32 passes (N < 128 wastes the systolic
-    array's width — measured ~3x on the bench workload)."""
+    Per group, ONE (H·A, K) narrow operand (so the MXU contraction runs at
+    N = H·A instead of H separate N = 32 passes — N < 128 wastes the
+    systolic array's width, measured ~3x on the bench workload) and one
+    (128, K) wide operand are each built with a SINGLE iota compare from
+    the precomputed packed codes (_precode) — the α broadcast and per-h
+    masking that made the round-3 kernel VPU-bound live in XLA now, fused
+    into the row gather."""
     A = voting_ref.ALPHA_PAD
     n_chunks = row_cap // chunk_rows
     m_pad = _ceil_to(n_model, 128)
@@ -469,13 +496,17 @@ def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
         H = m_pad // 128
         # Rows per MXU contraction: GROW rows fuse into one k = GROW·128
         # matmul (a free row-major HBM reshape), amortizing small-matmul
-        # setup; α_s / valid-lane vectors are assembled per group from SMEM.
+        # setup.
         GROW = TALLY_GROW
         assert G % GROW == 0
         n_grp = G // GROW
         K = GROW * LANES
+        NA = H * A
 
-        ppg = ppv.reshape(n_chunks, n_grp, K)
+        # One-hot codes precomputed in XLA (fuses with the row gather);
+        # the kernel unpacks them with two shifts and two iota compares.
+        codes = _precode(pp_i32, alpha_row, n_angle)
+        ppg = codes.reshape(n_chunks, n_grp, K)
 
         cmap, start_chunk = _chunk_row_map(r_of_chunk_start, R,
                                            chunk_rows, n_chunks)
@@ -489,7 +520,7 @@ def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
         oh_dtype = jnp.dtype(TALLY_DTYPE)
         acc_dtype = jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
 
-        def kernel(cmap_ref, live_ref, pp_ref, a_ref, out_ref):
+        def kernel(cmap_ref, live_ref, pp_ref, out_ref):
             i = pl.program_id(0)
             first = jnp.logical_or(
                 i == 0, cmap_ref[i] != cmap_ref[jnp.maximum(i - 1, 0)])
@@ -500,46 +531,30 @@ def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
 
             @pl.when(i < live_ref[0])
             def _accumulate():
-                lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-                row_of_lane = jax.lax.shift_right_logical(lane_iota, 7)
                 iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
-                iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, K), 0)
+                iota_na = jax.lax.broadcasted_iota(jnp.int32, (NA, K), 0)
 
                 def group(g, acc):
                     pr = pp_ref[0, g, :][None, :]                # (1, K)
-                    # Broadcast the GROW per-row α_s scalars across their
-                    # 128-lane groups with masked selects
-                    # (dynamic_update_slice is not lowerable in Mosaic).
-                    a_vec = jnp.zeros((1, K), jnp.int32)
-                    for j in range(GROW):
-                        in_g = row_of_lane == j
-                        a_vec = jnp.where(in_g, a_ref[0, 0, g * GROW + j],
-                                          a_vec)
-                    m, a_bin = _unpack_bin(pr, a_vec, n_angle)
-                    # Two-level m one-hot: the 7 low bits against a 128-row
-                    # iota build the WIDE side once; the per-128-point-group
-                    # mask (m_hi == h) folds into the narrow α one-hots,
-                    # which concatenate into one (H·A, K) operand for a
-                    # single full-width contraction. No validity mask:
-                    # pad slots/rows carry the pair-table sentinel, whose
-                    # reserved m column the accumulator slice discards.
-                    m_lo = m & 127
-                    om_lo = (m_lo == iota_lo).astype(oh_dtype)
-                    oa_ok = a_bin == iota_a                      # (A, K)
-                    # The m_hi mask is REQUIRED even at H == 1: the
-                    # sentinel's m_hi is 7, and without the mask its
-                    # m_lo = 127 would tally into real column 127.
-                    m_hi = jax.lax.shift_right_logical(m, 7)
-                    oa = jnp.concatenate(
-                        [(oa_ok & (m_hi == h)).astype(oh_dtype)
-                         for h in range(H)], axis=0)             # (H·A, K)
+                    # Two-level one-hot from the precomputed code: the 7
+                    # low bits build the 128-row WIDE operand, the high
+                    # bits (m_hi · A + a_bin) the (H·A)-row narrow operand
+                    # — two iota compares per slot total. No validity
+                    # mask: pad slots/rows carry the pair-table sentinel,
+                    # whose code misses the narrow one-hot (H < 8) or
+                    # lands in the reserved m column the accumulator
+                    # slice discards (H = 8) — see _precode.
+                    m_lo = pr & 127
+                    c_hi = jax.lax.shift_right_logical(pr, 7)
+                    om_lo = (m_lo == iota_lo).astype(oh_dtype)   # (128, K)
+                    oa = (c_hi == iota_na).astype(oh_dtype)      # (H·A, K)
                     return acc + jax.lax.dot_general(
                         om_lo, oa, (((1,), (1,)), ((), ())),
                         preferred_element_type=acc_dtype)        # (128, H·A)
 
                 acc = jax.lax.fori_loop(
                     0, n_grp, group,
-                    jnp.zeros((128, H * A), acc_dtype))
+                    jnp.zeros((128, NA), acc_dtype))
                 # Exact: per-chunk per-cell counts <= G·128 << 2^24.
                 acci = acc.astype(jnp.int32)
                 for h in range(H):
@@ -551,11 +566,6 @@ def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec((1, n_grp, K), lambda i, cm, lv_: (i, 0, 0)),
-                # Per-row α_s scalars land in SMEM — the kernel indexes
-                # them at a dynamic row offset, which VMEM vector loads
-                # can't do.
-                pl.BlockSpec((1, 1, G), lambda i, cm, lv_: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, m_pad, A),
                                    lambda i, cm, lv_: (cm[i], 0, 0)),
@@ -564,7 +574,7 @@ def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((R, m_pad, A), jnp.int32),
-        )(cmap, live, ppg, av)
+        )(cmap, live, ppg)
         # Rows with no vote chunks may never be visited (their block holds
         # whatever the buffer contained) — zero them explicitly.
         end_chunk = jnp.concatenate([start_chunk[1:], live])
