@@ -58,6 +58,29 @@ class ShardedMatchResult(NamedTuple):
     topk_saturated: jax.Array   # () any shard's survivors exceeded K
 
 
+def psum_saturating(nv, axis_name: str):
+    """Saturating cross-shard sum of per-shard SATURATING int32 totals.
+
+    Each shard's num_votes honors `voting.saturating_total`'s contract
+    (clamps at 2^31-1 instead of wrapping), but a plain `psum` of two
+    sub-sentinel shards can wrap 2^31 and read as a plausible count. Sum as
+    two 16-bit limbs with carry propagation (int32-safe for any mesh
+    ≤ 2^15 devices) and re-saturate on either a shard-level sentinel or a
+    carried-out total ≥ 2^31 — honoring the single-chip contract across
+    the collective."""
+    int_max = jnp.int32(2 ** 31 - 1)
+    lo = jax.lax.psum(nv & 0xFFFF, axis_name)
+    hi = jax.lax.psum(jax.lax.shift_right_logical(nv, 16), axis_name)
+    any_sat = jax.lax.psum((nv == int_max).astype(jnp.int32),
+                           axis_name) > 0
+    # Carry lo's overflow into hi so (hi << 16) + lo cannot itself wrap:
+    # after the carry, hi < 2^15 implies the exact total fits in int32.
+    hi = hi + jax.lax.shift_right_logical(lo, 16)
+    lo = lo & 0xFFFF
+    return jnp.where(any_sat | (hi >= (1 << 15)), int_max,
+                     (hi << 16) + lo)
+
+
 def size_sharded_caps(model: ModelDescription, scene_points, scene_normals,
                       config: PPFConfig, n_shards: int
                       ) -> tuple[int, int | None]:
@@ -93,13 +116,20 @@ def size_sharded_caps(model: ModelDescription, scene_points, scene_normals,
 def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
                          config: PPFConfig, n_scene: int,
                          vote_cap_per_shard: int,
-                         seg_cap_per_shard: int | None = None):
+                         seg_cap_per_shard: int | None = None,
+                         runs_cap_per_shard: int | None = None):
     """Build a jitted multi-chip matcher over `mesh` (axis name "ref").
 
     n_scene and the caps are static; use `size_sharded_caps` to derive them
     exactly from a count pass. The number of reference rows
     R = ceil(n_scene / ref_point_df) is padded up to a multiple of the mesh
     size with out-of-range rows (they generate only INVALID_KEY pairs).
+
+    runs_cap_per_shard (correlation engine): starting capacity for each
+    shard's unique-cell compaction; None uses the engine heuristic. Either
+    way `overflowed` reports truncation — use `sharded_match` for the
+    auto-retry loop that guarantees untruncated tallies (the sharded analog
+    of drost.match's correlation retry).
 
     Returns fn(scene_points, scene_normals, icp_points=None,
     icp_normals=None) -> ShardedMatchResult. When config.refine_icp is set,
@@ -137,7 +167,8 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
                                  "None — rebuild tables for this engine")
             votes = voting_corr.cast_votes_corr(keys, alpha_s,
                                                 mdl.corr_tables,
-                                                mdl.n_points)
+                                                mdl.n_points,
+                                                runs_cap=runs_cap_per_shard)
         elif config.engine == "fast":
             if mdl.fast_tables is None:
                 raise ValueError("engine='fast' but fast_tables is None — "
@@ -180,7 +211,7 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
         g_counts = jax.lax.all_gather(counts, "ref").reshape(-1)     # (D*K,)
         g_poses = jax.lax.all_gather(poses, "ref").reshape(-1, 4, 4)
         g_weighted = jax.lax.all_gather(weighted, "ref").reshape(-1)
-        total_votes = jax.lax.psum(nv, "ref")
+        total_votes = psum_saturating(nv, "ref")
         any_ovf = jax.lax.psum(ovf.astype(jnp.int32), "ref") > 0
         # Exactness flag vs the GLOBAL relative threshold: a shard whose
         # above-threshold cells exceed its K budget may have dropped true
@@ -268,3 +299,58 @@ def make_sharded_matcher(mesh: Mesh, model: ModelDescription,
             topk_saturated=saturated)
 
     return matcher
+
+
+def sharded_match(mesh: Mesh, model: ModelDescription, scene_points,
+                  scene_normals, config: PPFConfig = PPFConfig(),
+                  icp_points=None, icp_normals=None,
+                  vote_cap_per_shard: int | None = None,
+                  seg_cap_per_shard: int | None = None,
+                  runs_cap_per_shard: int | None = None
+                  ) -> ShardedMatchResult:
+    """Sized, never-silently-truncating sharded match — the multi-chip
+    analog of `drost.match`.
+
+    Exact engines: caps default to the exact count-pass sizing
+    (`size_sharded_caps`), so the result cannot overflow. Correlation
+    engine: starts at runs_cap_per_shard (None → engine heuristic) and
+    AUTO-RETRIES at the next capacity bucket whenever any shard's runs
+    compaction overflows — mirroring the single-chip retry in drost.match
+    (drost.py match() correlation loop); the cap clamps to the per-shard
+    pair count, so the loop terminates with untruncated tallies.
+
+    One matcher is built per attempt (a retry recompiles, like the
+    single-chip path). For repeated matching at fixed scene shape, size
+    caps once and reuse `make_sharded_matcher`'s closure directly."""
+    n_scene = int(np.asarray(scene_points).shape[0])
+    n_dev = mesh.shape["ref"]
+    df = config.ref_point_df
+    R = (n_scene + df - 1) // df
+    R_pad = ((R + n_dev - 1) // n_dev) * n_dev
+    s_shard = (R_pad // n_dev) * n_scene   # per-shard pair count
+
+    if config.engine != "correlation":
+        if vote_cap_per_shard is None:
+            vote_cap_per_shard, seg_auto = size_sharded_caps(
+                model, scene_points, scene_normals, config, n_dev)
+            if seg_cap_per_shard is None:
+                seg_cap_per_shard = seg_auto
+        matcher = make_sharded_matcher(
+            mesh, model, config, n_scene, vote_cap_per_shard,
+            seg_cap_per_shard=seg_cap_per_shard)
+        return matcher(scene_points, scene_normals, icp_points=icp_points,
+                       icp_normals=icp_normals)
+
+    rc = runs_cap_per_shard
+    while True:
+        matcher = make_sharded_matcher(
+            mesh, model, config, n_scene, 0, runs_cap_per_shard=rc)
+        res = matcher(scene_points, scene_normals, icp_points=icp_points,
+                      icp_normals=icp_normals)
+        if rc is not None and rc >= s_shard:
+            break
+        if not bool(res.overflowed):
+            break
+        rc = drost._next_cap(2 * (rc if rc is not None
+                                  else max(s_shard // 6, 65536)))
+    return res
