@@ -376,7 +376,40 @@ def _next_cap(x: int) -> int:
 def match(model: ModelDescription, scene_points, scene_normals,
           config: PPFConfig = PPFConfig(),
           vote_cap: int | None = None, icp_points=None,
-          icp_normals=None, runs_cap: int | None = None) -> MatchResult:
+          icp_normals=None, runs_cap: int | None = None,
+          max_poses_ceiling: int = 8192) -> MatchResult:
+    """Match with the `topk_saturated` -> action loop closed: when the
+    relative-threshold survivors exceed config.max_poses (the flag the
+    reference's argmax-only path never needed — it throws the candidate
+    list away, model.cu:293-295), retry with max_poses DOUBLED, the same
+    pattern as the correlation engine's runs_cap retry. Bounded by
+    max_poses_ceiling (dense clustering is O(max_poses^2)) and by the
+    accumulator cell count; if still saturated at the bound the flag is
+    returned set — never silently.
+
+    Multi-instance extraction is the consumer this protects: a saturated
+    top-K drops the weakest instance's peak first (EVAL.md multi-instance
+    study — both k=6 misses were exactly this)."""
+    cfg = config
+    while True:
+        res = _match_sized(model, scene_points, scene_normals, cfg,
+                           vote_cap, icp_points, icp_normals, runs_cap)
+        if not bool(res.topk_saturated):
+            return res
+        n_s = int(np.asarray(scene_points).shape[0])
+        R = (n_s + cfg.ref_point_df - 1) // cfg.ref_point_df
+        cells = R * int(model.n_points) * voting.ALPHA_PAD
+        new_mp = min(2 * cfg.max_poses, max_poses_ceiling, cells)
+        if new_mp <= cfg.max_poses:
+            return res
+        cfg = dataclasses.replace(cfg, max_poses=new_mp)
+
+
+def _match_sized(model: ModelDescription, scene_points, scene_normals,
+                 config: PPFConfig = PPFConfig(),
+                 vote_cap: int | None = None, icp_points=None,
+                 icp_normals=None,
+                 runs_cap: int | None = None) -> MatchResult:
     """Match a model description against a scene cloud.
 
     When vote_cap is None, an exact count pass sizes the vote buffer and

@@ -292,3 +292,28 @@ def test_extract_instances_bin_picking(rng):
         assert best not in used
         assert td < 0.1 * desc.diameter and rd < math.radians(12), (td, rd)
         used.add(best)
+
+
+def test_topk_saturated_auto_retry(rng):
+    """match() must close the topk_saturated -> action loop: a max_poses
+    too small for the threshold survivors retries doubled (the corr
+    runs_cap pattern) until the flag clears, instead of returning a
+    silently truncated candidate list (VERDICT r3 weak-6)."""
+    mp, mn = synthetic.blob_cloud(rng, 90)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    cfg = PPFConfig(max_poses=2)
+    desc = ost.build_model_description(mp, mn, cfg)
+
+    # The raw sized path really does saturate at max_poses=2 (premise).
+    raw = drost._match_sized(desc, sp, sn, cfg)
+    assert bool(raw.topk_saturated)
+
+    res = ost.match(desc, sp, sn, cfg)
+    assert not bool(res.topk_saturated)
+    td, rd = (float(x) for x in tr.ht_dist(np.asarray(res.pose), T_true))
+    assert td < 0.1 * desc.diameter and rd < math.radians(12), (td, rd)
+
+    # The ceiling bounds the loop: with ceiling == the starting max_poses
+    # no retry is possible and the flag comes back set, never silently.
+    res_capped = ost.match(desc, sp, sn, cfg, max_poses_ceiling=2)
+    assert bool(res_capped.topk_saturated)
