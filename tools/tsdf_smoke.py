@@ -134,6 +134,39 @@ def main(argv=None) -> int:
     T_true = np.eye(4, dtype=np.float32)
     T_true[:3, 3] = [0, 0, 1.0]
     td, rd = (float(x) for x in tr.ht_dist(np.asarray(out.pose), T_true))
+
+    # ---- KinFu tracking loop (BASELINE config 5 in substance): a SECOND
+    # pass over the trajectory consuming RAW depth — only the first frame
+    # is posed; every later pose comes from frame-to-model projective ICP,
+    # each initialized from the PREVIOUS frame's tracked pose (so initial
+    # error = inter-frame motion + accumulated drift, reported below) —
+    # then recognition re-runs on the tracked-and-fused volume.
+    vol2 = tsdf.make_volume(origin=(-2.5, -2.5, -1.5), dims=(D, D, D),
+                            voxel_size=vs)
+    rec2 = tsdf.StreamingRecognizer(vol2, cfg)
+    rec2.register_model("blob", desc)
+    n_track = max(args.frames, 8)
+    drift = []
+    t_trk = []
+    for f in range(n_track):
+        ang = 2 * math.pi * f / n_track
+        eye = np.float32([3.2 * math.cos(ang), 3.2 * math.sin(ang), 1.6])
+        T_gt = synthetic.look_at(eye, (0, 0, 0.5))
+        depth = synthetic.render_depth(world, T_gt, intr, (h, w))
+        t0 = time.perf_counter()
+        res_t = rec2.track_depth_frame(depth, intr,
+                                       T_cw_hint=T_gt if f == 0 else None)
+        jax.block_until_ready(rec2.volume.tsdf)
+        t_trk.append(time.perf_counter() - t0)
+        if f > 0:
+            tdt, rdt = (float(x) for x in tr.ht_dist(rec2.T_cw, T_gt))
+            drift.append({"frame": f, "trans": tdt,
+                          "rot_deg": math.degrees(rdt),
+                          "inliers": int(res_t.inliers),
+                          "rms": float(res_t.rms)})
+    out2 = rec2.recognize()["blob"]
+    td2, rd2 = (float(x) for x in tr.ht_dist(np.asarray(out2.pose), T_true))
+
     print(json.dumps({
         "dims": D, "voxel_size": vs, "frames": args.frames,
         "integrate_ms_per_frame": 1e3 * float(np.mean(t_int[1:])),
@@ -144,6 +177,17 @@ def main(argv=None) -> int:
         "recognize_ms": t_match, "recognize_ms_cold": t_match_cold,
         "trans_err": td, "rot_err_deg": math.degrees(rd),
         "match": bool(td < 0.1 * desc.diameter and rd < math.radians(12)),
+        "tracking": {
+            "frames_tracked": n_track - 1,
+            "track_ms_per_frame": 1e3 * float(np.mean(t_trk[1:])),
+            "max_drift_trans": max(d["trans"] for d in drift),
+            "max_drift_rot_deg": max(d["rot_deg"] for d in drift),
+            "per_frame": drift,
+            "recognize_trans_err": td2,
+            "recognize_rot_err_deg": math.degrees(rd2),
+            "recognize_match": bool(td2 < 0.1 * desc.diameter
+                                    and rd2 < math.radians(12)),
+        },
     }))
     return 0
 
