@@ -97,6 +97,31 @@ def main(argv=None) -> int:
         jax.block_until_ready(rec.volume.tsdf)
         t_int.append(time.perf_counter() - t0)
 
+    # ---- Band-limited integration (same trajectory, fresh volume) ----
+    # Probe candidate-block occupancy over the trajectory, size the static
+    # cap (+15%, the repo's capacity rule), fuse banded, and time it; the
+    # equality-within-band contract is enforced by tests/test_tsdf.py.
+    vol_b = tsdf.make_volume(origin=(-2.5, -2.5, -1.5), dims=(D, D, D),
+                             voxel_size=vs)
+    frames_cached = []
+    for f in range(args.frames):
+        ang = 2 * math.pi * f / args.frames
+        eye = np.float32([3.2 * math.cos(ang), 3.2 * math.sin(ang), 1.6])
+        T_cw = synthetic.look_at(eye, (0, 0, 0.5))
+        frames_cached.append((synthetic.render_depth(world, T_cw, intr,
+                                                     (h, w)), T_cw))
+    occ_blocks = max(int(tsdf.band_block_occupancy(vol_b, d, intr, T))
+                     for d, T in frames_cached)
+    block_cap = ((int(occ_blocks * 1.15) + 127) // 128) * 128
+    t_band = []
+    for d, T in frames_cached:
+        t0 = time.perf_counter()
+        vol_b, ovf_b = tsdf.integrate_depth_banded(vol_b, d, intr, T,
+                                                   block_cap=block_cap)
+        jax.block_until_ready(vol_b.tsdf)
+        t_band.append(time.perf_counter() - t0)
+        assert not bool(ovf_b), "banded block_cap overflowed"
+
     def timed(fn):
         t0 = time.perf_counter()
         cold = fn()
@@ -170,6 +195,10 @@ def main(argv=None) -> int:
     print(json.dumps({
         "dims": D, "voxel_size": vs, "frames": args.frames,
         "integrate_ms_per_frame": 1e3 * float(np.mean(t_int[1:])),
+        "integrate_banded_ms_per_frame": 1e3 * float(np.mean(t_band[1:])),
+        "band_blocks_max": occ_blocks,
+        "band_block_cap": block_cap,
+        "band_blocks_total": (D // 8) ** 3,
         "surface_occupancy": occ,
         "surface_capacity_used": int(surf.points.shape[0]),
         "extract_ms": t_surf, "extract_ms_cold": t_surf_cold,
