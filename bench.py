@@ -253,13 +253,57 @@ def main():
     run_fast = pipeline(cfg)
     run_corr = pipeline(cfg_corr)
 
+    # ---- On-device tally bit-equality gate (untimed, one rep) ----
+    # The test suite runs on a CPU mesh (conftest), so the Pallas tally
+    # lowering is exercised ONLY here on real hardware: assert the block
+    # engine's dense accumulator is bit-identical to the readable
+    # reference engine's on the bench scene — the golden-dump
+    # cross-validation role of the reference's util.hpp:55-91. A row-map
+    # or output-routing bug in the kernel (the round-3 class, commit
+    # 6d2fa95) fails the bench loudly instead of shipping a wrong number.
+    from objective_slam_tpu.ops import voting as voting_ref
+    cap_ref_gate = drost._next_cap(max(totals))
+
+    @jax.jit
+    def _tally_pair(raw_p, raw_n):
+        keys, alpha = stage_keys(raw_p, raw_n)
+        blk = voting_block.cast_votes_block(
+            keys, alpha, desc.fast_tables.block, desc.n_points,
+            cfg.d_angle, cap, seg_cap=seg_cap)
+        ref = voting_ref.cast_votes(keys, alpha, desc.table, desc.n_points,
+                                    cap_ref_gate, cfg.d_angle)
+        return (jnp.all(blk.accumulator == ref.accumulator),
+                blk.num_votes == ref.num_votes, ref.overflowed)
+
+    sp0_dev = jax.device_put(scenes[0][0])
+    sn0_dev = jax.device_put(scenes[0][1])
+    eq_acc, eq_votes, ref_ovf = (bool(x) for x in
+                                 _tally_pair(sp0_dev, sn0_dev))
+    assert not ref_ovf, "bit-equality gate: reference engine overflowed"
+    tally_bitequal = eq_acc and eq_votes
+    assert tally_bitequal, (
+        "ON-DEVICE TALLY MISMATCH: block engine accumulator is not "
+        "bit-equal to the reference engine on this hardware")
+    _log(f"tally bit-equality gate: acc {eq_acc}, votes {eq_votes}")
+
+    # ---- Production sized-match latency (count pass INSIDE the timing) ---
+    # bench's main loop times _match_core with caps precomputed outside
+    # (honest for a warmed static pipeline); drost.match pays an exact
+    # count pass + host sync per call — the reference keeps its count/scan
+    # phase inside the timed lookup (model.cu:99-121), so report this
+    # configuration too.
+    def run_sized(raw_p, raw_n):
+        vox = jax.jit(vox_of)(raw_p, raw_n)
+        return drost.match(desc, vox.points, vox.normals, cfg,
+                           icp_points=raw_p[::8], icp_normals=raw_n[::8])
+
     # Device-resident inputs; fresh jitter per rep defeats result caching
     # without changing voxel occupancy (1e-6 << leaf).
     def rep_args(sp_dev, sn_dev):
         return [(sp_dev + jnp.float32((r + 1) * 1e-6), sn_dev)
                 for r in range(REPS)]
 
-    e2e_ms, e2e_corr_ms, vote_s, corr_s = [], [], [], []
+    e2e_ms, e2e_corr_ms, vote_s, corr_s, sized_ms = [], [], [], [], []
     matches = []
     n_votes = None
     for si, (sp, sn, truths) in enumerate(scenes):
@@ -270,6 +314,17 @@ def main():
 
         dt, res = _time(run_fast, args, warm)
         e2e_ms.append(dt * 1e3)
+
+        # Sized-match latency: drost.match per rep (count pass + host
+        # sync + match; compiles are warmed, the sync is the point).
+        r_w = run_sized(*warm)
+        jax.block_until_ready(r_w.pose)
+        n_sized = min(REPS, 8)
+        t0 = time.perf_counter()
+        for a in args[:n_sized]:
+            r_s = run_sized(*a)
+            jax.block_until_ready(r_s.pose)
+        sized_ms.append((time.perf_counter() - t0) / n_sized * 1e3)
         dt, res_c = _time(run_corr, args, warm)
         e2e_corr_ms.append(dt * 1e3)
         dt, vres = _time(vrun, args, warm)
@@ -410,6 +465,8 @@ def main():
         "vs_baseline": votes_per_s / 1e9,
         "extra": {
             "e2e_pose_ms_100k_scene": float(np.mean(e2e_ms)),
+            "e2e_with_sizing_ms": float(np.mean(sized_ms)),
+            "tally_bitequal_on_device": tally_bitequal,
             "e2e_corr_pose_ms": float(np.mean(e2e_corr_ms)),
             "e2e_target_ms": 30.0,
             "engine_headline": headline_engine,
