@@ -86,3 +86,71 @@ def test_merge_eval_dedup_and_protocol(tmp_path):
     import pytest
     with pytest.raises(SystemExit):
         merge_eval.merge([str(a), str(c)])
+
+
+def test_bench_tally_gate_and_sized_runner_wiring(rng):
+    """Toy-scale CPU run of bench.py's two module-level helpers — the
+    on-device tally bit-equality gate and the sized-match runner. These
+    shipped BROKEN in round 4 (commit 0f270d6 swapped cast_votes' last two
+    args inside a bench-main closure; the suite could not reach it and
+    BENCH_r04 crashed). The helpers are now module-level so this test
+    traces the exact wiring the TPU bench runs; the round-4 bug fails here
+    at trace time."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+    import objective_slam_tpu as ost
+    from objective_slam_tpu.config import PPFConfig
+    from objective_slam_tpu.models import drost
+    from objective_slam_tpu.ops import ppf as ppf_ops
+    from objective_slam_tpu.ops import voting_block
+    from objective_slam_tpu.utils import pointcloud as pc
+
+    mp_raw, mn_raw = synthetic.blob_cloud(rng, 1200)
+    sp, sn, _T = synthetic.plant_model(rng, mp_raw[::3], mn_raw[::3])
+    cfg = PPFConfig(engine="correlation", ref_point_df=10, max_poses=64,
+                    refine_icp=False)
+    d_dist = cfg.tau_d * pc.bbox_diameter(mp_raw)
+    mp, mn = pc.voxel_downsample_np(mp_raw, mn_raw, d_dist)
+    desc = ost.build_model_description(mp, mn, cfg, d_dist=d_dist)
+    assert desc.fast_tables.block is not None
+
+    capacity = 512
+    vox = pc.voxel_downsample(sp, sn, d_dist, capacity=capacity)
+    assert not bool(vox.dropped)
+    from objective_slam_tpu.ops import voting_fast
+    total, rows, segs = drost._count_votes(
+        desc, vox.points, vox.normals, cfg.ref_point_df, cfg.d_angle)
+    n_ref = (capacity + cfg.ref_point_df - 1) // cfg.ref_point_df
+    cap = drost._next_cap((rows + voting_block.CHUNK_ROWS * n_ref) * 128)
+    seg_cap = drost._next_cap(max(segs, 1024))
+    cap_fast = drost._next_cap(total + voting_fast.TALLY_CHUNK * n_ref)
+    cap_ref_gate = drost._next_cap(total)
+    ref_idx = jnp.arange(0, capacity, cfg.ref_point_df, dtype=jnp.int32)
+    keys, alpha = ppf_ops.pairwise_ppf_keys(
+        vox.points, vox.normals, desc.d_dist, cfg.d_angle,
+        desc.max_dist_bin, ref_indices=ref_idx)
+
+    eq_bf, eq_votes, ref_flips, gate_ovf = bench.tally_bitequal_check(
+        keys, alpha, desc, cfg.d_angle, cap, seg_cap, cap_fast,
+        cap_ref_gate)
+    assert not bool(gate_ovf)
+    # Block vs fast: same fixed-point α, disjoint tally paths — exact.
+    assert bool(eq_bf) and bool(eq_votes)
+    # Block vs the float32 readable engine: α-bin boundary flips only, at
+    # the fixed-point quantization rate (~1e-5/vote; see bench docstring).
+    # This cloud (planted exact model copy) reliably produces a few at
+    # ~2M votes — which is exactly why asserting zero here would be wrong.
+    assert int(ref_flips) / total < 1e-4
+
+    # Sized-runner wiring: drost.match via the single cached vox jit.
+    cfg_fast = PPFConfig(engine="fast", ref_point_df=10, max_poses=64,
+                         refine_icp=False)
+    vox_jit = jax.jit(lambda p, n: pc.voxel_downsample(
+        p, n, d_dist, capacity=capacity))
+    run_sized = bench.make_sized_runner(desc, cfg_fast, vox_jit)
+    res = run_sized(jnp.asarray(sp), jnp.asarray(sn))
+    assert res.pose.shape == (4, 4)
+    assert not bool(res.overflowed)
