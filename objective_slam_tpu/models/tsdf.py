@@ -368,10 +368,12 @@ def integrate_depth_banded(volume: TSDFVolume, depth, intrinsics, T_cw,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("shape", "n_steps", "fine_steps"))
+                   static_argnames=("shape", "n_steps", "fine_steps",
+                                    "n_brackets"))
 def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
                   t_near: float = 0.1, t_far: float = 6.0,
-                  n_steps: int = 192, fine_steps: int = 24):
+                  n_steps: int = 192, fine_steps: int = 32,
+                  n_brackets: int = 3):
     """Synthesize a depth map from the volume (KinFu's raycast view):
     per-pixel coarse-to-fine march along the camera ray; depth = first
     positive→negative TSDF zero crossing, linearly interpolated. Returns
@@ -379,29 +381,39 @@ def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
 
     Gathers are the cost here (~10 ns/element on this chip): a trilinear
     sample is 16 of them per pixel per step, so marching all n_steps
-    trilinearly costs n_steps·16. Instead the coarse march brackets the
-    crossing with NEAREST reads (1 gather/step) of a 3³-MIN-POOLED
+    trilinearly costs n_steps·16. Instead the coarse march brackets
+    crossings with NEAREST reads (1 gather/step) of a 3³-MIN-POOLED
     observed-TSDF field: the pooled field is negative wherever ANY voxel
-    of a trilinear neighborhood is, so its first sub-zero sample is a
+    of a trilinear neighborhood is, so each of its sub-zero dips is a
     CONSERVATIVE bracket — it fires at or slightly before every point
     where the trilinear field could cross (including silhouette-grazing
     rays and half-observed neighborhoods that a plain nearest read calls
-    empty). `fine_steps` TRILINEAR samples over [bracket − dt,
-    bracket + 9·dt] then decide: the first interpolated zero crossing in
-    the window is the depth, and a bracket with no trilinear crossing
-    (a graze) returns 0. The long forward reach matters: at grazing
-    incidence θ the ray enters the pool's √3·voxel_size shell
-    ~√3·voxel_size/cos θ before actually crossing, so the window covers
-    incidence up to ~arccos(√3·voxel_size/(9·dt)) (~79° at the defaults
-    on a 5–6 m volume). n_steps·1 + fine_steps·16 ≈ 5x fewer gathers at
-    the defaults, with ~2x finer crossing resolution than the
-    all-trilinear march (window/fine_steps ≈ dt/2).
+    empty). Each of the first `n_brackets` dips gets `fine_steps`
+    TRILINEAR samples over [bracket − dt, bracket + 9·dt]; the first
+    interpolated zero crossing across the windows (in bracket order) is
+    the depth. The multi-bracket resume is load-bearing on non-convex
+    geometry: a ray that GRAZES a closer feature (pooled dip with no
+    trilinear crossing — e.g. a bump silhouette on a bumpy object) must
+    continue to the surface behind it. With a single bracket the
+    tsdf_smoke tabletop view loses 26% of its object pixels to this;
+    three brackets recover them to the true sub-voxel silhouette
+    residue (docs/eval/raycast_gap_256.json, tools/raycast_gap_study.py).
+    The long forward reach matters too: at grazing incidence θ the ray
+    enters the pool's √3·voxel_size shell ~√3·voxel_size/cos θ before
+    actually crossing, so each window covers incidence up to
+    ~arccos(√3·voxel_size/(9·dt)) (~79° at the defaults on a 5–6 m
+    volume). Cost: n_steps + n_brackets·fine_steps·8 gathers/pixel (the
+    NaN-sentinel field folds the weight test into the value gather) ≈
+    1.7× the round-4 single-bracket form and ~6x below the all-trilinear
+    march — with ~2.5x finer crossing resolution than that march's
+    (window/fine_steps ≈ dt/3).
 
-    Semantics vs the dense march: identical first-crossing depths, except
+    Residual semantics vs the dense march (measured by the gap study):
     (a) rays beyond the grazing-incidence bound above (a sub-pixel
-    silhouette ring) and (b) rays that graze within one voxel of a CLOSER
-    surface and then hit a farther one more than 9·dt later — both read 0
-    instead of the surface depth.
+    silhouette ring), (b) rays needing more than `n_brackets` resumes,
+    and (c) grazing slivers thinner than the window's sample spacing
+    inside an otherwise-empty window — all read 0 (or the next surface
+    behind) instead of the sliver depth.
 
     The coarse step dt = (t_far−t_near)/n_steps must stay below the
     truncation band (default 3·voxel_size) or thin surfaces can be
@@ -443,11 +455,11 @@ def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
         c_field = jnp.minimum(c_field, jnp.minimum(lo, hi))
 
     def pos_of(t):
-        """Ray points at per-pixel (or scalar) parameter t, in grid
-        coordinates."""
-        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (h, w))
+        """Ray points at per-pixel parameters t (..., h, w), in grid
+        coordinates -> (..., h, w, 3)."""
+        t = jnp.asarray(t, jnp.float32)
         return (org_w + dirs_w * t[..., None] - volume.origin) \
-            / volume.voxel_size - 0.5                        # (h, w, 3)
+            / volume.voxel_size - 0.5
 
     def coarse_sample(t):
         pos = pos_of(t)
@@ -460,15 +472,23 @@ def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
                     jnp.clip(idx[..., 2], 0, W - 1)]
         return jnp.where(inside, v, jnp.float32(volume.truncation))
 
+    # Observed-TSDF with a NaN sentinel for unobserved voxels: folds the
+    # weight-validity test into the value itself, so each trilinear corner
+    # costs ONE gather instead of two (tsdf + weight) — gathers are the
+    # whole cost of the fine pass (~10 ns/element on this chip).
+    obs_field = jnp.where(volume.weight > 0.0, volume.tsdf, jnp.nan)
+
     def sample(t):
         """TRILINEAR TSDF sample at ray positions (KinFu interpolates the
         field when locating the crossing — nearest-voxel reads quantize
-        the recovered depth to the voxel grid, ~0.5·voxel_size RMS)."""
+        the recovered depth to the voxel grid, ~0.5·voxel_size RMS).
+        Unobserved corners are EXCLUDED from the interpolation (NaN
+        sentinel), not averaged in."""
         pos = pos_of(t)
         base = jnp.floor(pos).astype(jnp.int32)
         frac = pos - base.astype(jnp.float32)
-        val = jnp.zeros(pos.shape[:2], jnp.float32)
-        wsum = jnp.zeros(pos.shape[:2], jnp.float32)
+        val = jnp.zeros(pos.shape[:-1], jnp.float32)
+        wsum = jnp.zeros(pos.shape[:-1], jnp.float32)
         for di in (0, 1):
             for dj in (0, 1):
                 for dk in (0, 1):
@@ -480,59 +500,54 @@ def raycast_depth(volume: TSDFVolume, intrinsics, T_wc, shape,
                     ci = jnp.clip(ii, 0, D - 1)
                     cj = jnp.clip(jj, 0, H - 1)
                     ck = jnp.clip(kk, 0, W - 1)
-                    tv = volume.tsdf[ci, cj, ck]
-                    wv = volume.weight[ci, cj, ck]
+                    tv = obs_field[ci, cj, ck]
                     wt = (jnp.where(di, frac[..., 0], 1 - frac[..., 0])
                           * jnp.where(dj, frac[..., 1], 1 - frac[..., 1])
                           * jnp.where(dk, frac[..., 2], 1 - frac[..., 2]))
-                    ok = inside & (wv > 0)
+                    ok = inside & ~jnp.isnan(tv)
                     val = val + jnp.where(ok, wt * tv, 0.0)
                     wsum = wsum + jnp.where(ok, wt, 0.0)
         # Outside / unobserved reads as "empty" (+τ): no crossing there.
         return jnp.where(wsum > 0.5, val / jnp.maximum(wsum, 1e-9),
                          jnp.float32(volume.truncation))
 
-    # Coarse march: bracket the FIRST sub-zero sample of the min-pooled
-    # field. t_hit records the segment START (prev_t). The pooled field is
-    # ≤ every voxel a trilinear neighborhood reads, so the true trilinear
-    # crossing (if any) lies at or after this bracket, within the pool
-    # reach (√3·voxel_size) plus one step.
-    # Not-found sentinel is −1, NOT 0: with t_near = 0.0 a first-segment
-    # crossing records prev_t == 0.0, which a zero sentinel would read as
-    # "no bracket".
-    def cstep(carry, t_scalar):
-        prev_t, prev_v, t_hit = carry
-        v_now = coarse_sample(t_scalar)
-        crossed = (prev_v > 0) & (v_now <= 0) & (t_hit < 0.0)
-        t_hit = jnp.where(crossed, prev_t, t_hit)
-        return (t_scalar, v_now, t_hit), None
+    # Coarse march, vectorized over steps: every +→− segment of the
+    # min-pooled field is a candidate bracket; rank them per pixel with a
+    # cumulative count and keep the first n_brackets. The pooled field is
+    # ≤ every voxel a trilinear neighborhood reads, so each true trilinear
+    # crossing lies at or after one of these brackets, within the pool
+    # reach (√3·voxel_size) plus one step. Brackets record the segment
+    # START ts[s] (the last pooled-positive sample).
+    vc = coarse_sample(jnp.broadcast_to(
+        ts[:, None, None], (n_steps, h, w)))                  # (N, h, w)
+    crossed = (vc[:-1] > 0) & (vc[1:] <= 0)                   # (N-1, h, w)
+    rank = jnp.cumsum(crossed.astype(jnp.int32), axis=0)      # (N-1, h, w)
+    ts_seg = ts[:-1][:, None, None]
 
-    init = (jnp.float32(t_near), coarse_sample(jnp.float32(t_near)),
-            jnp.full((h, w), -1.0, jnp.float32))
-    (_, _, t_hit), _ = jax.lax.scan(cstep, init, ts[1:])
-    found = t_hit >= 0.0
-
-    # Fine trilinear refinement over [t_hit − dt, t_hit + 9·dt]: the long
-    # asymmetric forward reach covers the conservative bracket's early
-    # fire at grazing incidence (see docstring); one step of back slack
-    # absorbs the step quantization of the bracket itself.
+    # Fine trilinear refinement over [bracket − dt, bracket + 9·dt] per
+    # bracket, in bracket order: the long asymmetric forward reach covers
+    # the conservative bracket's early fire at grazing incidence (see
+    # docstring); one step of back slack absorbs the step quantization of
+    # the bracket itself. A bracket whose window has no trilinear crossing
+    # is a graze — the NEXT bracket's window resumes behind it.
     offs = jnp.linspace(-dt, 9.0 * dt, fine_steps).astype(jnp.float32)
-    t0 = jnp.where(found, t_hit, jnp.float32(t_near))
-
-    def fstep(carry, off):
-        prev_t, prev_v, hit_depth = carry
-        t_now = t0 + off
-        v_now = sample(t_now)
-        crossed = (prev_v > 0) & (v_now <= 0) & (hit_depth == 0.0)
-        frac = prev_v / jnp.maximum(prev_v - v_now, 1e-9)
-        d_hit = prev_t + frac * (t_now - prev_t)
-        hit_depth = jnp.where(crossed, d_hit, hit_depth)
-        return (t_now, v_now, hit_depth), None
-
-    finit = (t0 + offs[0], sample(t0 + offs[0]),
-             jnp.zeros((h, w), jnp.float32))
-    (_, _, hit), _ = jax.lax.scan(fstep, finit, offs[1:])
-    return jnp.where(found, hit, 0.0)
+    depth = jnp.zeros((h, w), jnp.float32)
+    for k in range(n_brackets):
+        mask_k = crossed & (rank == k + 1)                    # ≤1 per pixel
+        found_k = jnp.any(mask_k, axis=0)
+        t_k = jnp.sum(jnp.where(mask_k, ts_seg, 0.0), axis=0)
+        t0 = jnp.where(found_k, t_k, jnp.float32(t_near))
+        tw = t0[None] + offs[:, None, None]                   # (F, h, w)
+        vw = sample(tw)
+        cr = (vw[:-1] > 0) & (vw[1:] <= 0)
+        first = cr & (jnp.cumsum(cr.astype(jnp.int32), axis=0) == 1)
+        prev_v, now_v = vw[:-1], vw[1:]
+        frac = prev_v / jnp.maximum(prev_v - now_v, 1e-9)
+        d_all = tw[:-1] + frac * (tw[1:] - tw[:-1])
+        d_k = jnp.sum(jnp.where(first, d_all, 0.0), axis=0)
+        ok_k = found_k & jnp.any(first, axis=0) & (depth == 0.0)
+        depth = jnp.where(ok_k, d_k, depth)
+    return depth
 
 
 def _invert_rigid(T):

@@ -456,3 +456,56 @@ def test_banded_integrate_equals_dense_within_band(rng):
     # blocks it DID update.
     _, ovf2 = tsdf.integrate_depth_banded(vol, d2, _INTR, T2, block_cap=4)
     assert bool(ovf2)
+
+
+def test_raycast_multi_bracket_resumes_after_graze():
+    """A ray that GRAZES a closer feature (min-pooled bracket dips but the
+    trilinear field never crosses) must resume and hit the surface behind
+    it. Round-5 measurement (tools/raycast_gap_study.py): on the bumpy
+    tsdf_smoke object the single-bracket raycast lost 26% of object pixels
+    to exactly this; n_brackets>=2 recovers them.
+
+    Hand-built volume: an observed wall at z=2.0, plus one phantom
+    negative voxel exactly ONE voxel off the central ray — the 3-cubed
+    min-pool dips on the ray (bracket fires) but the trilinear field along
+    the ray (frac=0 toward the phantom) is untouched (a pure graze)."""
+    vs = 0.05
+    dims = (64, 64, 64)
+    trunc = 3 * vs
+    zc = (np.arange(64) + 0.5) * vs
+    d = 2.0 - zc                                   # signed dist to the wall
+    tsdf_np = np.broadcast_to(
+        np.clip(d, -trunc, trunc)[None, None, :], dims).astype(np.float32)
+    wgt_np = np.broadcast_to(
+        (d >= -trunc)[None, None, :], dims).astype(np.float32).copy()
+    tsdf_np = tsdf_np.copy()
+    k1 = 19                                        # z ≈ 0.975
+    tsdf_np[32, 33, k1] = -trunc                   # phantom, 1 voxel off
+    wgt_np[32, 33, k1] = 1.0
+    vol = tsdf.make_volume(origin=(0.0, 0.0, 0.0), dims=dims,
+                           voxel_size=vs, truncation=trunc)
+    import dataclasses
+    vol = dataclasses.replace(vol, tsdf=jnp.asarray(tsdf_np),
+                              weight=jnp.asarray(wgt_np))
+
+    # Axis-aligned camera: the central pixel's ray runs exactly along the
+    # (32, 32) voxel-center line in +z.
+    x0 = (32 + 0.5) * vs
+    T_wc = np.eye(4, dtype=np.float32)
+    T_wc[:3, 3] = [x0, x0, 0.2]
+    cast1 = np.asarray(tsdf.raycast_depth(vol, _INTR, T_wc, _SHAPE,
+                                          t_near=0.1, t_far=3.0,
+                                          n_brackets=1))
+    cast3 = np.asarray(tsdf.raycast_depth(vol, _INTR, T_wc, _SHAPE,
+                                          t_near=0.1, t_far=3.0))
+    v_pix, u_pix = 60, 80                          # (cy, cx) exactly
+    # Single bracket: the graze consumes the only window -> hole.
+    assert cast1[v_pix, u_pix] == 0.0
+    # Multi-bracket: resumes and lands on the wall (z=2.0, camera z=0.2).
+    assert abs(cast3[v_pix, u_pix] - 1.8) < vs, cast3[v_pix, u_pix]
+    # A pixel 20 columns over clears the phantom's pooled shadow CONE
+    # (tilted rays pass |Δx| = |Δu|·t/8 voxels off-center; the shadow
+    # spans ±1.5 voxels around the phantom at z≈0.95, so |Δu| > 16
+    # clears it): both agree on the wall (depth = z distance; dir_z = 1).
+    assert abs(cast1[v_pix, u_pix - 20] - 1.8) < vs
+    assert abs(cast3[v_pix, u_pix - 20] - 1.8) < vs
