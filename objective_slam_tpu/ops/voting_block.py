@@ -69,6 +69,15 @@ TALLY_DTYPE = "int8"            # one-hot operand dtype ("int8" contracts
                                 # at the MXU's 2x int8 rate and accumulates
                                 # in int32 — exact by construction; swept
                                 # vs bfloat16 on v5e)
+TALLY_CMP_DTYPE = "int32"       # iota-compare dtype for the in-kernel
+                                # one-hot build (codes fit 15 bits, so
+                                # int16 is exact). The compares are the
+                                # tally's VPU bottleneck (~224/slot after
+                                # _precode); sub-32-bit vector compares
+                                # can pack multiple lanes per cycle.
+                                # Swept vs int32 on v5e (tools/
+                                # ablate_block.py); bit-equality vs the
+                                # fast engine enforced by the bench gate.
 ALPHA_BITS = 22                 # fixed-point α (shared with voting_fast)
 M_BITS = 32 - ALPHA_BITS        # model point index field (n_m <= 1024)
 _ALPHA_SCALE = (1 << ALPHA_BITS) / (2.0 * math.pi)
@@ -520,6 +529,8 @@ def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
         oh_dtype = jnp.dtype(TALLY_DTYPE)
         acc_dtype = jnp.int32 if oh_dtype == jnp.int8 else jnp.float32
 
+        cmp_dtype = jnp.dtype(TALLY_CMP_DTYPE)
+
         def kernel(cmap_ref, live_ref, pp_ref, out_ref):
             i = pl.program_id(0)
             first = jnp.logical_or(
@@ -531,21 +542,23 @@ def _tally(pp, alpha_row, r_of_chunk_start, R, n_model,
 
             @pl.when(i < live_ref[0])
             def _accumulate():
-                iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, K), 0)
-                iota_na = jax.lax.broadcasted_iota(jnp.int32, (NA, K), 0)
+                iota_lo = jax.lax.broadcasted_iota(cmp_dtype, (128, K), 0)
+                iota_na = jax.lax.broadcasted_iota(cmp_dtype, (NA, K), 0)
 
                 def group(g, acc):
                     pr = pp_ref[0, g, :][None, :]                # (1, K)
                     # Two-level one-hot from the precomputed code: the 7
                     # low bits build the 128-row WIDE operand, the high
                     # bits (m_hi · A + a_bin) the (H·A)-row narrow operand
-                    # — two iota compares per slot total. No validity
+                    # — two iota compares per slot total, in the narrow
+                    # TALLY_CMP_DTYPE (the code fits 15 bits). No validity
                     # mask: pad slots/rows carry the pair-table sentinel,
                     # whose code misses the narrow one-hot (H < 8) or
                     # lands in the reserved m column the accumulator
                     # slice discards (H = 8) — see _precode.
-                    m_lo = pr & 127
-                    c_hi = jax.lax.shift_right_logical(pr, 7)
+                    m_lo = (pr & 127).astype(cmp_dtype)
+                    c_hi = jax.lax.shift_right_logical(
+                        pr, 7).astype(cmp_dtype)
                     om_lo = (m_lo == iota_lo).astype(oh_dtype)   # (128, K)
                     oa = (c_hi == iota_na).astype(oh_dtype)      # (H·A, K)
                     return acc + jax.lax.dot_general(
