@@ -66,13 +66,21 @@ def main() -> int:
     # ---- 1. compare-dtype sweep (fresh α jitter per rep: the axon
     # tunnel caches identical-input dispatches) ----
     accs = {}
-    for dt in ("int32", "int16"):
+    # uint8 also fits: m_lo <= 127, c_hi <= 255 (both unsigned-exact).
+    for dt in ("int32", "int16", "uint8"):
         voting_block.TALLY_CMP_DTYPE = dt
-        f = jax.jit(lambda k, a: voting_block.cast_votes_block(
-            k, a, desc.fast_tables.block, desc.n_points, cfg.d_angle,
-            cap, seg_cap=seg_cap))
-        r0 = f(keys, alpha)
-        jax.block_until_ready(r0)
+        try:
+            f = jax.jit(lambda k, a: voting_block.cast_votes_block(
+                k, a, desc.fast_tables.block, desc.n_points, cfg.d_angle,
+                cap, seg_cap=seg_cap))
+            r0 = f(keys, alpha)
+            jax.block_until_ready(r0)
+        except Exception as e:          # Mosaic dtype support varies
+            out[f"tally_ms_{dt}"] = None
+            out[f"error_{dt}"] = f"{type(e).__name__}: {e}"[:300]
+            print(f"[ablate] {dt}: FAILED {type(e).__name__}",
+                  file=sys.stderr, flush=True)
+            continue
         accs[dt] = np.asarray(r0.accumulator)
         args = [alpha + jnp.float32((r + 1) * 1e-7) for r in range(reps)]
         t0 = time.perf_counter()
@@ -81,8 +89,11 @@ def main() -> int:
         out[f"tally_ms_{dt}"] = (time.perf_counter() - t0) / reps * 1e3
         print(f"[ablate] {dt}: {out[f'tally_ms_{dt}']:.2f} ms",
               file=sys.stderr, flush=True)
-    out["acc_equal_int16_vs_int32"] = bool(
-        np.array_equal(accs["int32"], accs["int16"]))
+    voting_block.TALLY_CMP_DTYPE = "int32"
+    for dt in ("int16", "uint8"):
+        if dt in accs:
+            out[f"acc_equal_{dt}_vs_int32"] = bool(
+                np.array_equal(accs["int32"], accs[dt]))
 
     # ---- 2. sized-match stage profile ----
     vox_jit = jax.jit(lambda p, n: pc.voxel_downsample(
