@@ -347,15 +347,27 @@ def _count_votes_rows_jit(model, scene_points, scene_normals, ref_point_df,
             jnp.sum((cnt > 0).astype(jnp.int32), axis=1, dtype=jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("ref_point_df", "d_angle"))
+def _count_votes_totals_jit(model, scene_points, scene_normals,
+                            ref_point_df, d_angle):
+    """Stacked (3,) int32 totals — ONE device->host transfer instead of
+    three (each transfer is a full tunnel round trip in the sized-match
+    path, drost.match). int32 is exact here: every downstream capacity is
+    int32, so totals beyond 2^31 are out of scope by construction."""
+    rows, brows, nsegs = _count_votes_rows_jit(
+        model, scene_points, scene_normals, ref_point_df, d_angle)
+    return jnp.stack([jnp.sum(rows, dtype=jnp.int32),
+                      jnp.sum(brows, dtype=jnp.int32),
+                      jnp.sum(nsegs, dtype=jnp.int32)])
+
+
 def _count_votes(model, scene_points, scene_normals, ref_point_df,
                  d_angle) -> tuple[int, int, int]:
     """Host-side exact (total votes, total block-engine vote rows, total
     nonzero scene-pair segments)."""
-    rows, brows, nsegs = _count_votes_rows_jit(
-        model, scene_points, scene_normals, ref_point_df, d_angle)
-    return (int(np.asarray(rows, dtype=np.int64).sum()),
-            int(np.asarray(brows, dtype=np.int64).sum()),
-            int(np.asarray(nsegs, dtype=np.int64).sum()))
+    t = np.asarray(_count_votes_totals_jit(
+        model, scene_points, scene_normals, ref_point_df, d_angle))
+    return int(t[0]), int(t[1]), int(t[2])
 
 
 def _next_cap(x: int) -> int:
