@@ -475,3 +475,18 @@ def test_saturating_total_many_rows_no_wrap():
     # Small-case exactness unchanged.
     rows = jnp.asarray([0, 1, 65535, 65536, 123456], jnp.int32)
     assert int(voting.saturating_total(rows)) == 254528
+
+
+def test_top_votes_max_poses_exceeds_accumulator():
+    """max_poses larger than the whole accumulator (absurdly tiny clouds:
+    scene·model·32 < max_poses) must clamp the top-k and pad with
+    keep=False slots instead of crashing in lax.top_k — the public
+    ost.match edge the verify playbook used to list as known-broken."""
+    acc = jnp.zeros((4, 3, 32), jnp.int32).at[1, 2, 5].set(9)
+    top = voting.top_votes(acc, 0.4, max_poses=1024)
+    assert top.counts.shape == (1024,)
+    assert int(top.counts[0]) == 9
+    assert bool(top.keep[0])
+    # Pad slots: zero counts, rejected.
+    assert int(jnp.sum(top.keep)) == 1
+    assert not bool(top.saturated)
