@@ -49,7 +49,9 @@ if not _os.environ.get("OBJECTIVE_SLAM_TPU_NO_XLA_CACHE"):
 
 from objective_slam_tpu.config import PPFConfig  # noqa: F401
 from objective_slam_tpu.models.drost import (  # noqa: F401
+    MatchCaps,
     ModelDescription,
     build_model_description,
     match,
+    match_with_state,
 )

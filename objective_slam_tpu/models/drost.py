@@ -385,6 +385,18 @@ def _next_cap(x: int) -> int:
     return base * 2
 
 
+class MatchCaps(NamedTuple):
+    """Host-side capacity state of one sized match — everything needed to
+    re-dispatch the same compiled buckets WITHOUT the count pass + host
+    sync (see match_with_state). `vote_cap` is 0 for the correlation
+    engine (capacity-free voting); `runs_cap` None means the engine's
+    internal compaction default."""
+    vote_cap: int
+    seg_cap: int | None
+    runs_cap: int | None
+    max_poses: int
+
+
 def match(model: ModelDescription, scene_points, scene_normals,
           config: PPFConfig = PPFConfig(),
           vote_cap: int | None = None, icp_points=None,
@@ -402,18 +414,72 @@ def match(model: ModelDescription, scene_points, scene_normals,
     Multi-instance extraction is the consumer this protects: a saturated
     top-K drops the weakest instance's peak first (EVAL.md multi-instance
     study — both k=6 misses were exactly this)."""
+    return _match_loop(model, scene_points, scene_normals, config,
+                       vote_cap, icp_points, icp_normals, runs_cap,
+                       max_poses_ceiling)[0]
+
+
+def match_with_state(model: ModelDescription, scene_points, scene_normals,
+                     config: PPFConfig = PPFConfig(),
+                     state: MatchCaps | None = None, icp_points=None,
+                     icp_normals=None, max_poses_ceiling: int = 8192,
+                     ) -> tuple[MatchResult, MatchCaps]:
+    """Serving-loop match: `match()` semantics, plus capacity-state reuse.
+
+    First call (state=None) behaves exactly like match(): exact count
+    pass sizes the buffers (one device->host sync), saturation retries
+    loop, and the caps that produced the returned result come back as
+    `state`. Subsequent calls pass that state: the match dispatches
+    IMMEDIATELY against the cached capacity buckets — zero host syncs
+    before dispatch, no retrace — which removes the count-pass round
+    trips that dominate per-call latency on remote-device links
+    (bench.py `e2e_with_sizing_ms` vs the warmed pipeline).
+
+    Safety net (repo invariant: no silent truncation): if the reused caps
+    overflow — bigger scene, denser votes — or the top-k saturates, the
+    call falls back to the full exact-sizing path and returns refreshed
+    caps. The result is therefore always exactly what match() would have
+    produced; only the latency differs.
+
+    Reference anchor: the reference re-runs its count/scan phase inside
+    every timed lookup (model.cu:99-121) because its buffers live per
+    call; a persistent serving loop has no reason to re-count unchanged
+    capacity — this is the TPU-native replacement, not a semantic drift:
+    the overflow flags arrive with the result tensors and the fallback
+    re-sizes exactly."""
+    if state is not None:
+        cfg = dataclasses.replace(config, max_poses=state.max_poses)
+        res = _match_jit(model, scene_points, scene_normals,
+                         cfg.ref_point_df, state.vote_cap, cfg,
+                         icp_points=icp_points, icp_normals=icp_normals,
+                         seg_cap=state.seg_cap, runs_cap=state.runs_cap)
+        # ONE stacked flag readback — separate bool() casts would pay two
+        # sequential device->host round trips on remote-device links (the
+        # same latency class the whole function exists to remove).
+        if not bool(np.asarray(res.overflowed | res.topk_saturated)):
+            return res, state
+    return _match_loop(model, scene_points, scene_normals, config,
+                       None, icp_points, icp_normals, None,
+                       max_poses_ceiling)
+
+
+def _match_loop(model, scene_points, scene_normals, config, vote_cap,
+                icp_points, icp_normals, runs_cap, max_poses_ceiling):
+    """The topk_saturated -> double-max_poses retry loop shared by match()
+    and match_with_state(); returns (result, caps-that-produced-it)."""
     cfg = config
     while True:
-        res = _match_sized(model, scene_points, scene_normals, cfg,
-                           vote_cap, icp_points, icp_normals, runs_cap)
+        res, caps = _match_sized_caps(model, scene_points, scene_normals,
+                                      cfg, vote_cap, icp_points,
+                                      icp_normals, runs_cap)
         if not bool(res.topk_saturated):
-            return res
+            return res, caps
         n_s = int(np.asarray(scene_points).shape[0])
         R = (n_s + cfg.ref_point_df - 1) // cfg.ref_point_df
         cells = R * int(model.n_points) * voting.ALPHA_PAD
         new_mp = min(2 * cfg.max_poses, max_poses_ceiling, cells)
         if new_mp <= cfg.max_poses:
-            return res
+            return res, caps
         cfg = dataclasses.replace(cfg, max_poses=new_mp)
 
 
@@ -422,6 +488,17 @@ def _match_sized(model: ModelDescription, scene_points, scene_normals,
                  vote_cap: int | None = None, icp_points=None,
                  icp_normals=None,
                  runs_cap: int | None = None) -> MatchResult:
+    return _match_sized_caps(model, scene_points, scene_normals, config,
+                             vote_cap, icp_points, icp_normals,
+                             runs_cap)[0]
+
+
+def _match_sized_caps(model: ModelDescription, scene_points, scene_normals,
+                      config: PPFConfig = PPFConfig(),
+                      vote_cap: int | None = None, icp_points=None,
+                      icp_normals=None,
+                      runs_cap: int | None = None
+                      ) -> tuple[MatchResult, MatchCaps]:
     """Match a model description against a scene cloud.
 
     When vote_cap is None, an exact count pass sizes the vote buffer and
@@ -463,7 +540,7 @@ def _match_sized(model: ModelDescription, scene_points, scene_normals,
                 break
             rc = _next_cap(2 * (rc if rc is not None
                                 else max(S // 6, 65536)))
-        return res
+        return res, MatchCaps(0, None, rc, config.max_poses)
     if config.engine == "fast" and model.fast_tables is None:
         raise ValueError(
             "engine='fast' requires fast_tables; build the model "
@@ -491,10 +568,11 @@ def _match_sized(model: ModelDescription, scene_points, scene_normals,
                 # chunk per reference row.
                 total += voting_fast.TALLY_CHUNK * n_ref
         vote_cap = _next_cap(total)
-    return _match_jit(model, scene_points, scene_normals,
-                      config.ref_point_df, int(vote_cap), config,
-                      icp_points=icp_points, icp_normals=icp_normals,
-                      seg_cap=seg_cap)
+    return (_match_jit(model, scene_points, scene_normals,
+                       config.ref_point_df, int(vote_cap), config,
+                       icp_points=icp_points, icp_normals=icp_normals,
+                       seg_cap=seg_cap),
+            MatchCaps(int(vote_cap), seg_cap, None, config.max_poses))
 
 
 def match_accumulator_only(model: ModelDescription, scene_points,

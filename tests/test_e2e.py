@@ -317,3 +317,60 @@ def test_topk_saturated_auto_retry(rng):
     # no retry is possible and the flag comes back set, never silently.
     res_capped = ost.match(desc, sp, sn, cfg, max_poses_ceiling=2)
     assert bool(res_capped.topk_saturated)
+
+
+def test_match_with_state_steady_state_skips_count(rng, monkeypatch):
+    """Serving-loop API: the second call with cached caps must dispatch
+    with ZERO count passes (the per-call host sync drost.match pays) and
+    produce the identical result; an undersized state must fall back to
+    exact sizing instead of returning a truncated result."""
+    cfg = PPFConfig(max_poses=256)
+    mp, mn = synthetic.blob_cloud(rng, 100)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    desc = ost.build_model_description(mp, mn, cfg)
+
+    res1, caps = ost.match_with_state(desc, sp, sn, cfg)
+    assert caps.vote_cap > 0 and caps.max_poses == 256
+    v = validation.validate_pose(np.asarray(res1.pose), T_true,
+                                 desc.diameter, cfg)
+    assert v.match
+
+    # Steady state: count pass must NOT run.
+    def boom(*a, **k):
+        raise AssertionError("count pass ran on the steady-state path")
+    monkeypatch.setattr(drost, "_count_votes", boom)
+    res2, caps2 = ost.match_with_state(desc, sp, sn, cfg, state=caps)
+    assert caps2 == caps
+    np.testing.assert_array_equal(np.asarray(res1.pose),
+                                  np.asarray(res2.pose))
+    np.testing.assert_array_equal(np.asarray(res1.accumulator),
+                                  np.asarray(res2.accumulator))
+    monkeypatch.undo()
+
+    # Undersized caps (vote_cap 1024 floor is far below this scene's
+    # votes): overflow must trigger the exact-sizing fallback, not a
+    # silently truncated result.
+    bad = drost.MatchCaps(1024, caps.seg_cap, None, 256)
+    res3, caps3 = ost.match_with_state(desc, sp, sn, cfg, state=bad)
+    assert caps3.vote_cap == caps.vote_cap
+    assert not bool(res3.overflowed)
+    np.testing.assert_array_equal(np.asarray(res1.pose),
+                                  np.asarray(res3.pose))
+
+
+def test_match_with_state_correlation_engine(rng):
+    """Correlation engine: capacity-free voting — state reuse must hold
+    the runs_cap bucket and produce the same pose."""
+    cfg = PPFConfig(max_poses=256, engine="correlation")
+    mp, mn = synthetic.blob_cloud(rng, 100)
+    sp, sn, T_true = synthetic.plant_model(rng, mp, mn)
+    desc = ost.build_model_description(mp, mn, cfg)
+    res1, caps = ost.match_with_state(desc, sp, sn, cfg)
+    assert caps.vote_cap == 0
+    res2, caps2 = ost.match_with_state(desc, sp, sn, cfg, state=caps)
+    assert caps2 == caps
+    np.testing.assert_array_equal(np.asarray(res1.pose),
+                                  np.asarray(res2.pose))
+    v = validation.validate_pose(np.asarray(res1.pose), T_true,
+                                 desc.diameter, cfg)
+    assert v.match
