@@ -74,10 +74,14 @@ TALLY_CMP_DTYPE = "int32"       # iota-compare dtype for the in-kernel
                                 # int16 is exact). The compares are the
                                 # tally's VPU bottleneck (~224/slot after
                                 # _precode); sub-32-bit vector compares
-                                # can pack multiple lanes per cycle.
-                                # Swept vs int32 on v5e (tools/
-                                # ablate_block.py); bit-equality vs the
-                                # fast engine enforced by the bench gate.
+                                # could pack multiple lanes per cycle —
+                                # but BOTH int16 and uint8 fail Mosaic
+                                # compilation on the v5e toolchain
+                                # (remote-compile crash; swept round 5,
+                                # tools/ablate_tally_cmp.py), so int32 is
+                                # the only working choice. Bit-equality
+                                # vs the fast engine is enforced by the
+                                # bench gate either way.
 ALPHA_BITS = 22                 # fixed-point α (shared with voting_fast)
 M_BITS = 32 - ALPHA_BITS        # model point index field (n_m <= 1024)
 _ALPHA_SCALE = (1 << ALPHA_BITS) / (2.0 * math.pi)

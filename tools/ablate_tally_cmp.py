@@ -122,6 +122,23 @@ def main() -> int:
     timed("stage_slice_ms", lambda i: (jitter[i][::8], sn_dev[::8]))
     timed("stage_full_sized_ms",
           lambda i: run_sized(jitter[i], sn_dev).pose)
+
+    # ---- 3. match_with_state steady state: same production call, caps
+    # reused from the previous call — the serving-loop configuration.
+    # Expected: the count pass + its host sync drop out; only the
+    # voxelize dispatch, the match, and ONE stacked flag readback remain.
+    state = None
+
+    def sized_stateful(i):
+        nonlocal state
+        vox = vox_jit(jitter[i], sn_dev)
+        res, state = drost.match_with_state(
+            desc, vox.points, vox.normals, cfg, state=state,
+            icp_points=jitter[i][::8], icp_normals=sn_dev[::8])
+        return res.pose
+
+    sized_stateful(0)                        # cold: sizes caps, compiles
+    timed("stage_stateful_sized_ms", sized_stateful)
     print(json.dumps(out))
     return 0
 
