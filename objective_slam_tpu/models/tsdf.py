@@ -592,6 +592,12 @@ class TrackResult(NamedTuple):
     T_cw: jax.Array     # (4, 4) world→camera estimate for this frame
     inliers: jax.Array  # () int32 final-iteration correspondence count
     rms: jax.Array      # () float32 final point-to-plane RMS residual (m)
+    overlap: jax.Array  # () int32 final-iteration candidate associations
+    #                     (frame pixel projects onto a valid model pixel,
+    #                     BEFORE the distance/normal gates) — the
+    #                     denominator of the convergence gate: inliers /
+    #                     overlap is the fraction of the associable view
+    #                     the solve explained
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -660,7 +666,7 @@ def track_frame(volume: TSDFVolume, depth, intrinsics, T_cw_init,
     _OMEGA_MAX = 0.08        # rad per Gauss-Newton step (trust region)
 
     def gn_step(_, carry):
-        T_wc, _, _ = carry
+        T_wc, _, _, _ = carry
         pw = jnp.einsum("ij,hwj->hwi", T_wc[:3, :3], v_cam,
                         precision=_HI) + T_wc[:3, 3]
         nw = jnp.einsum("ij,hwj->hwi", T_wc[:3, :3], n_cam, precision=_HI)
@@ -678,7 +684,8 @@ def track_frame(volume: TSDFVolume, depth, intrinsics, T_cw_init,
         vm = v_model[cv, cu]
         nm = n_model[cv, cu]
         diff = pw - vm
-        ok = (frame_ok & in_img & model_ok[cv, cu]
+        cand = frame_ok & in_img & model_ok[cv, cu]
+        ok = (cand
               & (jnp.sum(diff * diff, axis=-1) < d2_max)
               & (jnp.sum(nw * nm, axis=-1) > normal_cos))
         wgt = ok.astype(jnp.float32)
@@ -707,12 +714,15 @@ def track_frame(volume: TSDFVolume, depth, intrinsics, T_cw_init,
         wsum = jnp.maximum(jnp.sum(wf), 1.0)
         rms = jnp.sqrt(jnp.sum(wf * rf * rf) / wsum)
         return (jnp.matmul(dT, T_wc, precision=_HI), rms,
-                jnp.sum(wf).astype(jnp.int32))
+                jnp.sum(wf).astype(jnp.int32),
+                jnp.sum(cand, dtype=jnp.int32))
 
     T_wc0 = _invert_rigid(jnp.asarray(T_cw_init, jnp.float32))
-    T_wc, rms, inl = jax.lax.fori_loop(
-        0, iters, gn_step, (T_wc0, jnp.float32(0.0), jnp.int32(0)))
-    return TrackResult(T_cw=_invert_rigid(T_wc), inliers=inl, rms=rms)
+    T_wc, rms, inl, ovl = jax.lax.fori_loop(
+        0, iters, gn_step, (T_wc0, jnp.float32(0.0), jnp.int32(0),
+                            jnp.int32(0)))
+    return TrackResult(T_cw=_invert_rigid(T_wc), inliers=inl, rms=rms,
+                       overlap=ovl)
 
 
 class Surface(NamedTuple):
@@ -816,6 +826,8 @@ class StreamingRecognizer:
         self.frames = 0
         self.T_cw = None           # last tracked/integrated camera pose
         self.last_track: TrackResult | None = None
+        self.tracking_lost = False  # last track_depth_frame failed the
+        #                             inlier-fraction gate (not fused)
 
     def register_model(self, name: str, desc: drost.ModelDescription):
         self.models[name] = desc
@@ -831,8 +843,9 @@ class StreamingRecognizer:
         self.T_cw = np.asarray(T_cw, np.float32)
         self.frames += 1
 
-    def track_depth_frame(self, depth, intrinsics,
-                          T_cw_hint=None) -> TrackResult | None:
+    def track_depth_frame(self, depth, intrinsics, T_cw_hint=None,
+                          min_inlier_frac: float = 0.25
+                          ) -> TrackResult | None:
         """Consume a RAW depth frame without an externally supplied pose —
         the KinFu loop (BASELINE config 5): track the camera against the
         fused volume by projective point-to-plane ICP on the raycast view
@@ -842,7 +855,28 @@ class StreamingRecognizer:
         prior integrate_depth_frame) and is integrated as-given — there is
         no model surface to track against yet. Later frames initialize
         from the previous tracked pose; a hint overrides. Returns the
-        TrackResult (None for the anchoring frame)."""
+        TrackResult (None for the anchoring frame).
+
+        Lost-tracking gate (association collapse): the frame is NOT
+        integrated — fusing at an unconverged pose poisons the volume
+        (measured: a 45°-per-frame orbit fused every view at the frame-0
+        pose and recognition on the result failed) — when either
+        `inliers < min_inlier_frac · overlap` (the solve explains too
+        little of what it could associate) or `overlap` is under 5% of
+        the frame's valid pixels (the view barely projects onto the
+        mapped model at the stale init — sensor pointed away, teleport,
+        occlusion). On lost: pose holds at the last tracked value and
+        `self.tracking_lost` is set; re-anchor with T_cw_hint or return
+        to the mapped region.
+
+        Known limitation (inherent to frame-to-model projective ICP, cf.
+        Newcombe et al. 2011 §3.5's small-motion assumption): motion far
+        outside the convergence basin over self-similar geometry (planes,
+        near-symmetric objects) can converge to a WRONG attractor with a
+        high inlier fraction — measured 0.32-0.39 on a 60-180° teleport
+        over a plane-dominated scene, indistinguishable from healthy by
+        any geometric gate. Keep inter-frame rotation small (the test
+        suite tracks at ~7°/frame); relocalization is out of scope."""
         if self.T_cw is None and T_cw_hint is None:
             raise ValueError(
                 "first frame anchors the world frame: pass T_cw_hint (or "
@@ -853,7 +887,15 @@ class StreamingRecognizer:
         init = self.T_cw if T_cw_hint is None else T_cw_hint
         res = track_frame(self.volume, depth, intrinsics, init)
         self.last_track = res
-        self.integrate_depth_frame(depth, intrinsics, res.T_cw)
+        # ONE stacked readback (remote-link latency; drost.match pattern).
+        inl, ovl = (int(x) for x in np.asarray(
+            jnp.stack([res.inliers, res.overlap])))
+        d = np.asarray(depth)
+        valid = int(np.count_nonzero(np.isfinite(d) & (d > 0)))
+        self.tracking_lost = (inl < min_inlier_frac * max(ovl, 1)
+                              or ovl < 0.05 * valid)
+        if not self.tracking_lost:
+            self.integrate_depth_frame(depth, intrinsics, res.T_cw)
         return res
 
     def surface(self) -> Surface:

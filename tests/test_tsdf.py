@@ -509,3 +509,46 @@ def test_raycast_multi_bracket_resumes_after_graze():
     # clears it): both agree on the wall (depth = z distance; dir_z = 1).
     assert abs(cast1[v_pix, u_pix - 20] - 1.8) < vs
     assert abs(cast3[v_pix, u_pix - 20] - 1.8) < vs
+
+
+def test_track_depth_frame_lost_gate_blocks_fusion(rng):
+    """A frame whose view barely associates with the model (the camera
+    jumped far outside the convergence basin) must trip the lost-tracking
+    gate: pose held, volume NOT fused, tracking_lost set — fusing at an
+    unconverged pose poisons the volume (the round-5 45°-orbit smoke
+    failure). A well-initialized follow-up frame clears the gate."""
+    world = _corner_scene(rng)
+    vol = tsdf.make_volume(origin=(0.0, 0.0, 0.0), dims=(64, 64, 64),
+                           voxel_size=0.05)
+    rec = tsdf.StreamingRecognizer(vol)
+    center = np.float32([1.6, 1.6, 1.4])
+    eye0 = center + np.float32([2.3, 0.0, 0.9])
+    T0 = synthetic.look_at(eye0, center)
+    rec.track_depth_frame(synthetic.render_depth(world, T0, _INTR, _SHAPE),
+                          _INTR, T_cw_hint=T0)
+
+    # Camera swings to face AWAY from the mapped scene: the view barely
+    # projects onto the model at the stale init — association collapse.
+    # (A large teleport over this plane-dominated scene would NOT trip
+    # the gate: floor associates with floor at ~0.37 inlier fraction at
+    # any yaw — the documented wrong-attractor limitation.)
+    eye1 = center + np.float32([2.6, 0.0, 0.9])
+    T1 = synthetic.look_at(eye1, center + np.float32([6.0, 0.0, 1.0]))
+    d1 = synthetic.render_depth(world, T1, _INTR, _SHAPE)
+    tsdf_before = np.asarray(rec.volume.tsdf)
+    res = rec.track_depth_frame(d1, _INTR)
+    assert rec.tracking_lost
+    np.testing.assert_array_equal(np.asarray(rec.volume.tsdf), tsdf_before)
+    np.testing.assert_array_equal(rec.T_cw, np.asarray(T0, np.float32))
+
+    # Small-motion frame from the held pose: gate clears, frame fuses.
+    ang2 = 0.1
+    eye2 = center + np.float32([2.3 * math.cos(ang2),
+                                2.3 * math.sin(ang2), 0.92])
+    T2 = synthetic.look_at(eye2, center)
+    res2 = rec.track_depth_frame(
+        synthetic.render_depth(world, T2, _INTR, _SHAPE), _INTR)
+    assert not rec.tracking_lost
+    assert not np.array_equal(np.asarray(rec.volume.tsdf), tsdf_before)
+    td, rd = (float(x) for x in tr.ht_dist(rec.T_cw, T2))
+    assert td < 0.15 and rd < math.radians(3.0), (td, math.degrees(rd))

@@ -170,9 +170,15 @@ def main(argv=None) -> int:
                             voxel_size=vs)
     rec2 = tsdf.StreamingRecognizer(vol2, cfg)
     rec2.register_model("blob", desc)
-    n_track = max(args.frames, 8)
+    # Inter-frame motion must sit inside projective ICP's convergence
+    # basin (Newcombe §3.5 small-motion assumption): 7.5°/frame over the
+    # full orbit. The original 45°-step pass converged every frame onto
+    # the blob's rotationally-symmetric attractor at the frame-0 pose and
+    # fused garbage — the failure that motivated the tracking_lost gate.
+    n_track = max(6 * args.frames, 48)
     drift = []
     t_trk = []
+    lost_frames = 0
     for f in range(n_track):
         ang = 2 * math.pi * f / n_track
         eye = np.float32([3.2 * math.cos(ang), 3.2 * math.sin(ang), 1.6])
@@ -184,10 +190,12 @@ def main(argv=None) -> int:
         jax.block_until_ready(rec2.volume.tsdf)
         t_trk.append(time.perf_counter() - t0)
         if f > 0:
+            lost_frames += int(rec2.tracking_lost)
             tdt, rdt = (float(x) for x in tr.ht_dist(rec2.T_cw, T_gt))
             drift.append({"frame": f, "trans": tdt,
                           "rot_deg": math.degrees(rdt),
                           "inliers": int(res_t.inliers),
+                          "overlap": int(res_t.overlap),
                           "rms": float(res_t.rms)})
     out2 = rec2.recognize()["blob"]
     td2, rd2 = (float(x) for x in tr.ht_dist(np.asarray(out2.pose), T_true))
@@ -208,6 +216,8 @@ def main(argv=None) -> int:
         "match": bool(td < 0.1 * desc.diameter and rd < math.radians(12)),
         "tracking": {
             "frames_tracked": n_track - 1,
+            "deg_per_frame": 360.0 / n_track,
+            "lost_frames": lost_frames,
             "track_ms_per_frame": 1e3 * float(np.mean(t_trk[1:])),
             "max_drift_trans": max(d["trans"] for d in drift),
             "max_drift_rot_deg": max(d["rot_deg"] for d in drift),
