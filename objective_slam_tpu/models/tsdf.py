@@ -623,7 +623,12 @@ def track_frame(volume: TSDFVolume, depth, intrinsics, T_cw_init,
     Args:
       depth: (h, w) metric depth of the NEW frame (0/non-finite = none).
       T_cw_init: initial world→camera guess (previous tracked pose).
-      dist_thresh: correspondence rejection radius; None = 6·voxel_size.
+      dist_thresh: FINAL correspondence rejection radius; None =
+        6·voxel_size. The first half of the iterations run at 4x this
+        radius (annealed gating: capture range first, precision last) —
+        without it, fine grids reject the true correspondences of
+        ordinary inter-frame motion (6 voxels at 2 cm is 12 cm; a 7.5°
+        orbit step moves the view by ~40 cm) and tracking collapses.
       normal_cos: frame-vs-model normal agreement gate.
     """
     _HI = jax.lax.Precision.HIGHEST
@@ -665,8 +670,15 @@ def track_frame(volume: TSDFVolume, depth, intrinsics, T_cw_init,
 
     _OMEGA_MAX = 0.08        # rad per Gauss-Newton step (trust region)
 
-    def gn_step(_, carry):
+    def gn_step(i, carry):
         T_wc, _, _, _ = carry
+        # Annealed association gate: the first half of the iterations use
+        # a 4x-loose distance gate (capture range — inter-frame camera
+        # motion can far exceed 6 voxels at fine grids: at 256³/2 cm the
+        # tight gate alone rejected the true correspondences of a
+        # 7.5°-step orbit and tracking collapsed), the second half the
+        # tight gate (precision). One raycast either way.
+        d2_i = jnp.where(i < iters // 2, 16.0 * d2_max, d2_max)
         pw = jnp.einsum("ij,hwj->hwi", T_wc[:3, :3], v_cam,
                         precision=_HI) + T_wc[:3, 3]
         nw = jnp.einsum("ij,hwj->hwi", T_wc[:3, :3], n_cam, precision=_HI)
@@ -686,7 +698,7 @@ def track_frame(volume: TSDFVolume, depth, intrinsics, T_cw_init,
         diff = pw - vm
         cand = frame_ok & in_img & model_ok[cv, cu]
         ok = (cand
-              & (jnp.sum(diff * diff, axis=-1) < d2_max)
+              & (jnp.sum(diff * diff, axis=-1) < d2_i)
               & (jnp.sum(nw * nm, axis=-1) > normal_cos))
         wgt = ok.astype(jnp.float32)
         r = jnp.sum(diff * nm, axis=-1)                      # (h, w)
@@ -844,7 +856,7 @@ class StreamingRecognizer:
         self.frames += 1
 
     def track_depth_frame(self, depth, intrinsics, T_cw_hint=None,
-                          min_inlier_frac: float = 0.25
+                          min_inlier_frac: float = 0.15
                           ) -> TrackResult | None:
         """Consume a RAW depth frame without an externally supplied pose —
         the KinFu loop (BASELINE config 5): track the camera against the
@@ -865,7 +877,11 @@ class StreamingRecognizer:
         little of what it could associate) or `overlap` is under 5% of
         the frame's valid pixels (the view barely projects onto the
         mapped model at the stale init — sensor pointed away, teleport,
-        occlusion). On lost: pose holds at the last tracked value and
+        occlusion). The default fraction is deliberately low: a HEALTHY
+        track over a curved object measures ~0.24-0.30 inlier fraction
+        (normal-agreement gate + curvature), and a false LOST is worse
+        than a missed one — the held pose makes the next frame's motion
+        larger and spirals. On lost: pose holds at the last tracked value and
         `self.tracking_lost` is set; re-anchor with T_cw_hint or return
         to the mapped region.
 

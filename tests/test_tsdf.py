@@ -552,3 +552,35 @@ def test_track_depth_frame_lost_gate_blocks_fusion(rng):
     assert not np.array_equal(np.asarray(rec.volume.tsdf), tsdf_before)
     td, rd = (float(x) for x in tr.ht_dist(rec.T_cw, T2))
     assert td < 0.15 and rd < math.radians(3.0), (td, math.degrees(rd))
+
+
+def test_track_frame_annealed_gate_capture_range(rng):
+    """Initializations displaced several FINAL-gate radii must still
+    converge: the first half of the GN iterations run a 4x-loose distance
+    gate (capture range), the second half the tight gate (precision).
+    With a strict single-radius gate this displacement rejects every true
+    correspondence and the solve goes nowhere — the 256³ smoke failure
+    (12 cm gate vs ~40 cm inter-frame view motion)."""
+    world = _corner_scene(rng)
+    vol = tsdf.make_volume(origin=(0.0, 0.0, 0.0), dims=(64, 64, 64),
+                           voxel_size=0.05)
+    center = np.float32([1.6, 1.6, 1.4])
+    for ang in (0.0, 0.5, 1.0):
+        eye = center + np.float32([2.3 * math.cos(ang),
+                                   2.3 * math.sin(ang), 0.9])
+        T_cw = synthetic.look_at(eye, center)
+        depth = synthetic.render_depth(world, T_cw, _INTR, _SHAPE)
+        vol = tsdf.integrate_depth(vol, depth, _INTR, T_cw)
+
+    eye = center + np.float32([2.3 * math.cos(0.25),
+                               2.3 * math.sin(0.25), 0.95])
+    T_gt = synthetic.look_at(eye, center)
+    depth = synthetic.render_depth(world, T_gt, _INTR, _SHAPE)
+    # Tight gate = 8 cm: displace by ~3.5 radii (28 cm translation).
+    tight = 0.08
+    T_init = _perturb_pose(rng, T_gt, rot_deg=5.0, trans=3.5 * tight)
+    res = tsdf.track_frame(vol, depth, _INTR, T_init, iters=16,
+                           dist_thresh=tight)
+    td, rd = (float(x) for x in tr.ht_dist(np.asarray(res.T_cw), T_gt))
+    assert int(res.inliers) > 1000
+    assert td < 0.1 and rd < math.radians(2.0), (td, math.degrees(rd))

@@ -175,6 +175,28 @@ def main(argv=None) -> int:
     # full orbit. The original 45°-step pass converged every frame onto
     # the blob's rotationally-symmetric attractor at the frame-0 pose and
     # fused garbage — the failure that motivated the tracking_lost gate.
+    #
+    # The tracked world also needs yaw-constraining geometry: the bare
+    # blob+plane scene is tracking-hostile (the plane constrains no yaw,
+    # the blob barely any — a 7.5°-step orbit on it still lost 34/47
+    # frames, measured round 5), exactly the scene class real KinFu
+    # fails on. A realistic tabletop has clutter; three distinct boxy
+    # objects around the target anchor rotation from every viewpoint.
+    # Recognition still targets the blob among these distractors.
+    rngc = np.random.default_rng(7)
+    clutter = []
+    for i in range(3):
+        bv, bf = synthetic.superellipsoid_mesh(subdiv=3, p=4.0,
+                                               bumps=0.05 * (i + 1))
+        cp_i, _ = pc.sample_mesh_surface(bv, bf, 8_000, rngc)
+        cp_i = cp_i * np.float32([0.45, 0.3 + 0.12 * i, 0.55])
+        q = synthetic.random_rotation_quat(rngc)
+        cp_i = cp_i @ synthetic.quat_to_matrix(q).T
+        ang_i = 2 * math.pi * i / 3 + 0.5
+        cp_i += np.float32([1.7 * math.cos(ang_i),
+                            1.7 * math.sin(ang_i), -0.55])
+        clutter.append(cp_i)
+    world_t = np.concatenate([world] + clutter).astype(np.float32)
     n_track = max(6 * args.frames, 48)
     drift = []
     t_trk = []
@@ -183,7 +205,7 @@ def main(argv=None) -> int:
         ang = 2 * math.pi * f / n_track
         eye = np.float32([3.2 * math.cos(ang), 3.2 * math.sin(ang), 1.6])
         T_gt = synthetic.look_at(eye, (0, 0, 0.5))
-        depth = synthetic.render_depth(world, T_gt, intr, (h, w))
+        depth = synthetic.render_depth(world_t, T_gt, intr, (h, w))
         t0 = time.perf_counter()
         res_t = rec2.track_depth_frame(depth, intr,
                                        T_cw_hint=T_gt if f == 0 else None)
