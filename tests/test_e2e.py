@@ -374,3 +374,27 @@ def test_match_with_state_correlation_engine(rng):
     v = validation.validate_pose(np.asarray(res1.pose), T_true,
                                  desc.diameter, cfg)
     assert v.match
+
+
+def test_match_with_state_terminal_saturation(rng, monkeypatch):
+    """Saturation that persists at the retry ceiling is TERMINAL: the
+    steady-state path must return the flagged result without re-running
+    the count pass every call (fallback-per-call measured 3.3 s vs 0.47 s
+    on the bench scene), since match() would re-derive the identical
+    flagged result."""
+    cfg = PPFConfig(max_poses=4)          # absurdly small: saturates
+    mp, mn = synthetic.blob_cloud(rng, 100)
+    sp, sn, _ = synthetic.plant_model(rng, mp, mn)
+    desc = ost.build_model_description(mp, mn, cfg)
+    res1, caps = ost.match_with_state(desc, sp, sn, cfg,
+                                      max_poses_ceiling=4)
+    assert bool(res1.topk_saturated) and caps.max_poses == 4
+
+    def boom(*a, **k):
+        raise AssertionError("count pass ran on terminal-saturation path")
+    monkeypatch.setattr(drost, "_count_votes", boom)
+    res2, caps2 = ost.match_with_state(desc, sp, sn, cfg, state=caps,
+                                       max_poses_ceiling=4)
+    assert caps2 == caps and bool(res2.topk_saturated)
+    np.testing.assert_array_equal(np.asarray(res1.pose),
+                                  np.asarray(res2.pose))
