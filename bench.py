@@ -236,9 +236,15 @@ def main():
               for T in truths]
         return min(vs, key=lambda v: v.rot_err + (0.0 if v.match else 1e3))
 
-    # max_poses 512: survivors of the 0.4·max threshold number in the low
-    # hundreds on these scenes (topk_saturated guards the bound); ICP at 20
-    # iterations over the strided scan sits at ~1.5 deg — both chosen inside the accuracy budget.
+    # max_poses 512: enough candidate cells for the argmax pose and all 4
+    # instances' peaks (instance recall 4/4 below). topk_saturated DOES
+    # fire on these dense multi-instance scenes — the 0.4·max relative
+    # threshold admits more cells than any practical budget; drost.match's
+    # retry ladder runs to its 8192 ceiling still flagged (round-5
+    # diagnosis, see EVAL.md multi-instance note) — which is why the timed
+    # pipeline uses _match_core at a FIXED budget and the sized path's
+    # latency includes the ladder. ICP at 20 iterations over the strided
+    # scan sits at ~1.5 deg; both chosen inside the accuracy budget.
     cfg = PPFConfig(max_poses=512, ref_point_df=5, engine="fast",
                     refine_icp=True, icp_iterations=20)
     cfg_corr = PPFConfig(max_poses=512, ref_point_df=5,
