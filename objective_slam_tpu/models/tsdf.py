@@ -271,14 +271,17 @@ def band_block_occupancy(volume: TSDFVolume, depth, intrinsics, T_cw):
 def integrate_depth_banded(volume: TSDFVolume, depth, intrinsics, T_cw,
                            block_cap: int, w_max: float = 64.0):
     """Band/frustum-limited KinFu update: identical per-voxel math to
-    `integrate_depth`, executed only on the ~1-5% of 8³ blocks whose
-    bounding sphere can overlap the measured surface's truncation band
-    (`_band_block_mask`, conservative). The dense form pays one
-    depth-image gather per voxel — 16.7M element gathers ≈ the ~10 ns
-    indexed-op floor ≈ 170+ ms/frame at 256³ — although only band voxels
-    can change meaningfully; this path compacts candidate blocks with the
-    repo's sort-based stream compaction and gathers/scatters whole 512-
-    voxel blocks (row-granular DMA, ~200x cheaper per element).
+    `integrate_depth`, executed only on the 8³ blocks whose bounding
+    sphere can overlap the measured surface's truncation band
+    (`_band_block_mask`, conservative). The band fraction is
+    SCENE-DEPENDENT: a thin object is a few % of blocks, while the
+    256³ smoke's full-extent tabletop measures 49% (16.1k of 32.8k
+    blocks) — and still cuts 235 → 164 ms/frame (tsdf_smoke_256.json),
+    because the dense form pays one depth-image gather per voxel (16.7M
+    element gathers ≈ the ~10 ns indexed-op floor) on every voxel while
+    this path compacts candidate blocks with the repo's sort-based
+    stream compaction and gathers/scatters whole 512-voxel blocks
+    (row-granular DMA, ~200x cheaper per element moved).
 
     SEMANTICS vs dense: bit-equal on every voxel within the truncation
     band of the current frame (tests enforce it); voxels OUTSIDE the band
